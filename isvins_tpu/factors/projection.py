@@ -16,6 +16,13 @@ import jax.numpy as jnp
 from ..geom import quat_conj, quat_rotate, quat_to_mat, skew
 
 
+def _safe_depth(d, eps=1e-6):
+    """Sign-preserving clamp away from zero; a landmark passing through the
+    camera plane during an aggressive LM trial step must yield a large finite
+    residual (Cauchy-downweighted), not NaN."""
+    return jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
+
+
 def projection_residual(pts_i, pts_j, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i):
     """pts_i, pts_j: (3,) normalized-plane bearings [x, y, 1] in frames i, j.
     Returns (2,) residual."""
@@ -24,7 +31,7 @@ def projection_residual(pts_i, pts_j, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i):
     pts_w = quat_rotate(Qi, pts_imu_i) + Pi
     pts_imu_j = quat_rotate(quat_conj(Qj), pts_w - Pj)
     pts_cam_j = quat_rotate(quat_conj(qic), pts_imu_j - tic)
-    dep_j = pts_cam_j[2]
+    dep_j = _safe_depth(pts_cam_j[2])
     return pts_cam_j[:2] / dep_j - pts_j[:2]
 
 
@@ -37,7 +44,7 @@ def projection_residual_jacobians(pts_i, pts_j, Pi, Qi, Pj, Qj, tic, qic, inv_de
     pts_w = quat_rotate(Qi, pts_imu_i) + Pi
     pts_imu_j = quat_rotate(quat_conj(Qj), pts_w - Pj)
     pts_cam_j = quat_rotate(quat_conj(qic), pts_imu_j - tic)
-    dep_j = pts_cam_j[2]
+    dep_j = _safe_depth(pts_cam_j[2])
     r = pts_cam_j[:2] / dep_j - pts_j[:2]
 
     Ri = quat_to_mat(Qi)

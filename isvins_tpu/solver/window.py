@@ -1,0 +1,434 @@
+"""Batched sliding-window bundle-adjustment solver.
+
+Problem structure mirrors estimator.cpp problemSolve (:1004–1146) /
+initFactorGraph's full-window BA (:667–743):
+
+- B pose blocks (6-dof) + B speed/bias blocks (9-dof) + 1 extrinsic (6-dof)
+- B-1 IMU factors between consecutive frames (no robust loss)
+- up to N inverse-depth projection factors, Cauchy(1.0), whitened by
+  PIXEL_SQRT_INFO (estimator.cpp:35)
+- sparse nonlinear priors (IS scheme): SE3 prior on pose 0, speed/bias prior
+  on frame Vo-1, Vo-1 relative-pose edges over the VO segment, roll-pitch
+  edges — all with Cauchy(1.0) like the reference (estimator.cpp:1102–1117)
+
+TPU-native architecture: every factor family is evaluated with `vmap`, its
+block Jacobians are expanded into dense rows of the pose system with one-hot
+einsums (MXU work — no scatters), the Gauss-Newton Hessian is one `J^T J`
+matmul, landmarks are Schur-eliminated with a single (D,F)x(F,D) matmul, and
+the Levenberg–Marquardt accept/reject loop is branchless inside
+`lax.fori_loop`. All shapes static; masks handle validity.
+
+Column layout of the reduced system (D = 15*B + 6):
+  pose i  -> [6i, 6i+6)
+  vb   i  -> [6B + 9i, 6B + 9i + 9)
+  ex      -> [15B, 15B+6)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.preintegration import (
+    Preintegration,
+    imu_residual_jacobians,
+    sqrt_info_from_cov,
+)
+from ..factors.projection import projection_residual_jacobians
+from ..factors.priors import (
+    linear9_residual_jacobians,
+    relpose_residual_jacobians,
+    rollpitch_residual_jacobians,
+    se3_prior_residual_jacobians,
+)
+from ..geom import quat_mul, quat_normalize, so3_exp_quat
+
+
+class WindowDims(NamedTuple):
+    """Static problem shapes (python ints; captured at trace time)."""
+
+    B: int  # window frames (ALL_BUF_SIZE = 18)
+    Vo: int  # VO segment (Vo_SIZE = 8)
+    F: int  # landmark capacity (NUM_OF_F = 1000)
+    N: int  # projection-observation capacity
+
+    @property
+    def D(self) -> int:
+        return 15 * self.B + 6
+
+
+class WindowState(NamedTuple):
+    P: jnp.ndarray  # (B,3)
+    Q: jnp.ndarray  # (B,4) wxyz
+    V: jnp.ndarray  # (B,3)
+    Ba: jnp.ndarray  # (B,3)
+    Bg: jnp.ndarray  # (B,3)
+    tic: jnp.ndarray  # (3,)
+    qic: jnp.ndarray  # (4,)
+    dep: jnp.ndarray  # (F,) inverse depths
+
+
+class ProjFactors(NamedTuple):
+    idx_i: jnp.ndarray  # (N,) int32 host frame
+    idx_j: jnp.ndarray  # (N,) int32 observing frame
+    fidx: jnp.ndarray  # (N,) int32 landmark slot
+    pts_i: jnp.ndarray  # (N,3) normalized bearing in host frame
+    pts_j: jnp.ndarray  # (N,3)
+    valid: jnp.ndarray  # (N,) bool
+
+
+class ImuFactors(NamedTuple):
+    pre: Preintegration  # stacked (B-1, ...), factor k connects frames k,k+1
+    valid: jnp.ndarray  # (B-1,) bool
+
+
+class RollPitchFactors(NamedTuple):
+    q_meas: jnp.ndarray  # (K,4)
+    sqrt_info: jnp.ndarray  # (K,2,2)
+    idx: jnp.ndarray  # (K,) int32 frame index
+    valid: jnp.ndarray  # (K,) bool
+
+
+class PriorState(NamedTuple):
+    """The IS sparse nonlinear prior set (estimator.h:134–138)."""
+
+    se3_t: jnp.ndarray  # (3,)
+    se3_q: jnp.ndarray  # (4,)
+    se3_sqrt: jnp.ndarray  # (6,6)
+    se3_valid: jnp.ndarray  # () bool
+    vb: jnp.ndarray  # (9,)
+    vb_sqrt: jnp.ndarray  # (9,9)
+    vb_valid: jnp.ndarray  # () bool
+    rel_dt: jnp.ndarray  # (Vo,3)   edge k connects (k-1, k); slot 0 unused
+    rel_dq: jnp.ndarray  # (Vo,4)
+    rel_sqrt: jnp.ndarray  # (Vo,6,6)
+    rel_valid: jnp.ndarray  # (Vo,) bool
+    rp: RollPitchFactors  # capacity Vo
+
+    @staticmethod
+    def empty(Vo: int, dtype=jnp.float64) -> "PriorState":
+        return PriorState(
+            se3_t=jnp.zeros(3, dtype),
+            se3_q=jnp.array([1.0, 0, 0, 0], dtype),
+            se3_sqrt=jnp.zeros((6, 6), dtype),
+            se3_valid=jnp.asarray(False),
+            vb=jnp.zeros(9, dtype),
+            vb_sqrt=jnp.zeros((9, 9), dtype),
+            vb_valid=jnp.asarray(False),
+            rel_dt=jnp.zeros((Vo, 3), dtype),
+            rel_dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
+            rel_sqrt=jnp.zeros((Vo, 6, 6), dtype),
+            rel_valid=jnp.zeros(Vo, bool),
+            rp=RollPitchFactors(
+                q_meas=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
+                sqrt_info=jnp.zeros((Vo, 2, 2), dtype),
+                idx=jnp.zeros(Vo, jnp.int32),
+                valid=jnp.zeros(Vo, bool),
+            ),
+        )
+
+
+def _cauchy_weight(r_sq):
+    """Ceres CauchyLoss(1): rho(s) = log(1+s); IRLS weight sqrt(rho'(s))."""
+    return jnp.sqrt(1.0 / (1.0 + r_sq))
+
+
+def _cauchy_rho(r_sq):
+    return jnp.log1p(r_sq)
+
+
+def _pose_cols_onehot(idx, B, dtype):
+    """(n,) frame indices -> (n, B) one-hot for einsum expansion."""
+    return jax.nn.one_hot(idx, B, dtype=dtype)
+
+
+def _expand_pose_block(Jb, onehot):
+    """(n, r, 6) block + (n, B) one-hot -> (n, r, 6B) dense pose columns."""
+    n, r, _ = Jb.shape
+    out = jnp.einsum("nrk,nb->nrbk", Jb, onehot)
+    return out.reshape(n, r, -1)
+
+
+def retract_state(state: WindowState, dx: jnp.ndarray, dl: jnp.ndarray, dims: WindowDims):
+    """Apply the manifold plus: p+dp, q*Exp(dtheta) (pose_local_parameterization),
+    additive on v/ba/bg/ex-trans/depth."""
+    B = dims.B
+    d_pose = dx[: 6 * B].reshape(B, 6)
+    d_vb = dx[6 * B : 15 * B].reshape(B, 9)
+    d_ex = dx[15 * B :]
+    return WindowState(
+        P=state.P + d_pose[:, :3],
+        Q=quat_normalize(quat_mul(state.Q, so3_exp_quat(d_pose[:, 3:]))),
+        V=state.V + d_vb[:, :3],
+        Ba=state.Ba + d_vb[:, 3:6],
+        Bg=state.Bg + d_vb[:, 6:9],
+        tic=state.tic + d_ex[:3],
+        qic=quat_normalize(quat_mul(state.qic, so3_exp_quat(d_ex[3:]))),
+        dep=state.dep + dl,
+    )
+
+
+def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
+    """Whitened residuals (B-1,15) + dense rows (B-1,15,D) + cost."""
+    B, D = dims.B, dims.D
+    dtype = state.P.dtype
+    i_idx = jnp.arange(B - 1)
+    j_idx = i_idx + 1
+
+    # sanitize covariances of invalid slots before chol
+    eye15 = jnp.eye(15, dtype=dtype)
+    cov = jnp.where(imu.valid[:, None, None], imu.pre.cov, eye15)
+    S = sqrt_info_from_cov(cov, rel_jitter=1e-12)  # (B-1,15,15)
+
+    def one(k):
+        pre_k = jax.tree_util.tree_map(lambda a: a[k], imu.pre)
+        return imu_residual_jacobians(
+            pre_k, G,
+            state.P[k], state.Q[k], state.V[k], state.Ba[k], state.Bg[k],
+            state.P[k + 1], state.Q[k + 1], state.V[k + 1], state.Ba[k + 1], state.Bg[k + 1],
+        )
+
+    r, J_pi, J_vbi, J_pj, J_vbj = jax.vmap(one)(i_idx)
+    w = imu.valid.astype(dtype)[:, None]
+    r_w = jnp.einsum("nab,nb->na", S, r) * w
+    J_pi = jnp.einsum("nab,nbk->nak", S, J_pi) * w[..., None]
+    J_vbi = jnp.einsum("nab,nbk->nak", S, J_vbi) * w[..., None]
+    J_pj = jnp.einsum("nab,nbk->nak", S, J_pj) * w[..., None]
+    J_vbj = jnp.einsum("nab,nbk->nak", S, J_vbj) * w[..., None]
+
+    oh_i = _pose_cols_onehot(i_idx, B, dtype)
+    oh_j = _pose_cols_onehot(j_idx, B, dtype)
+    Jrows = jnp.zeros((B - 1, 15, D), dtype)
+    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pi, oh_i))
+    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pj, oh_j))
+    Jrows = Jrows.at[:, :, 6 * B : 15 * B].add(_expand_pose_block(J_vbi, oh_i))
+    Jrows = Jrows.at[:, :, 6 * B : 15 * B].add(_expand_pose_block(J_vbj, oh_j))
+    cost = 0.5 * jnp.sum(r_w * r_w)
+    return r_w, Jrows, cost
+
+
+def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims):
+    """Whitened+robust projection residuals (N,2), dense pose rows (N,2,D),
+    landmark partials (N,2), cost."""
+    B, D = dims.B, dims.D
+    dtype = state.P.dtype
+
+    def one(pi, pj, ii, ij, f, v):
+        # sanitize BEFORE evaluation: masked rows must not produce NaN
+        # (NaN * 0 = NaN would leak through the validity mask)
+        d = state.dep[f]
+        d = jnp.where(v & (jnp.abs(d) > 1e-8), d, 1.0)
+        return projection_residual_jacobians(
+            pi, pj, state.P[ii], state.Q[ii], state.P[ij], state.Q[ij],
+            state.tic, state.qic, d,
+        )
+
+    r, J_pi, J_pj, J_ex, J_dep = jax.vmap(one)(
+        proj.pts_i, proj.pts_j, proj.idx_i, proj.idx_j, proj.fidx, proj.valid
+    )
+    s = pixel_sqrt_info
+    vw = proj.valid.astype(dtype)
+    r_sq = jnp.sum((s * r) ** 2, axis=-1)
+    w = (s * _cauchy_weight(r_sq)) * vw  # scalar whiten * robust * mask
+    r_w = r * w[:, None]
+    J_pi = J_pi * w[:, None, None]
+    J_pj = J_pj * w[:, None, None]
+    J_ex = J_ex * w[:, None, None]
+    J_dep = J_dep * w[:, None]
+
+    oh_i = _pose_cols_onehot(proj.idx_i, B, dtype)
+    oh_j = _pose_cols_onehot(proj.idx_j, B, dtype)
+    Jrows = jnp.zeros((proj.pts_i.shape[0], 2, D), dtype)
+    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pi, oh_i))
+    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pj, oh_j))
+    Jrows = Jrows.at[:, :, 15 * B :].add(J_ex)
+    cost = 0.5 * jnp.sum(_cauchy_rho(r_sq) * vw)
+    return r_w, Jrows, J_dep, cost
+
+
+def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
+    """All sparse nonlinear priors -> list of (r_w, Jrows) + cost.
+    Each gets Cauchy(1.0) like the reference (estimator.cpp:1102–1117)."""
+    B, Vo, D = dims.B, dims.Vo, dims.D
+    dtype = state.P.dtype
+    rows = []
+    cost = jnp.asarray(0.0, dtype)
+
+    def robustify(r_w, Jrows_list, valid):
+        s = jnp.sum(r_w * r_w)
+        w = _cauchy_weight(s) * valid.astype(dtype)
+        c = 0.5 * _cauchy_rho(s) * valid.astype(dtype)
+        return r_w * w, [J * w for J in Jrows_list], c
+
+    # SE3 prior on pose 0
+    r, J = se3_prior_residual_jacobians(priors.se3_t, priors.se3_q, state.P[0], state.Q[0])
+    r_w = priors.se3_sqrt @ r
+    J_w = priors.se3_sqrt @ J
+    r_w, (J_w,), c = robustify(r_w, [J_w], priors.se3_valid)
+    Jrow = jnp.zeros((6, D), dtype).at[:, 0:6].set(J_w)
+    rows.append((r_w, Jrow))
+    cost = cost + c
+
+    # VB prior on frame Vo-1
+    k = Vo - 1
+    r, J = linear9_residual_jacobians(priors.vb, state.V[k], state.Ba[k], state.Bg[k])
+    r_w = priors.vb_sqrt @ r
+    J_w = priors.vb_sqrt @ J
+    r_w, (J_w,), c = robustify(r_w, [J_w], priors.vb_valid)
+    Jrow = jnp.zeros((9, D), dtype).at[:, 6 * B + 9 * k : 6 * B + 9 * k + 9].set(J_w)
+    rows.append((r_w, Jrow))
+    cost = cost + c
+
+    # relative-pose edges (k-1, k), k = 1..Vo-1
+    def one_rel(k):
+        r, Ji, Jj = relpose_residual_jacobians(
+            priors.rel_dt[k], priors.rel_dq[k],
+            state.P[k - 1], state.Q[k - 1], state.P[k], state.Q[k],
+        )
+        S = priors.rel_sqrt[k]
+        r_w = S @ r
+        s = jnp.sum(r_w * r_w)
+        w = _cauchy_weight(s) * priors.rel_valid[k].astype(dtype)
+        c = 0.5 * _cauchy_rho(s) * priors.rel_valid[k].astype(dtype)
+        return r_w * w, (S @ Ji) * w, (S @ Jj) * w, c
+
+    ks = jnp.arange(Vo)
+    rr, JJi, JJj, cc = jax.vmap(one_rel)(ks)
+    oh_i = _pose_cols_onehot(ks - 1, B, dtype)  # k=0 -> one_hot(-1) = zeros: safe
+    oh_j = _pose_cols_onehot(ks, B, dtype)
+    Jrel = jnp.zeros((Vo, 6, D), dtype)
+    Jrel = Jrel.at[:, :, : 6 * B].add(_expand_pose_block(JJi, oh_i))
+    Jrel = Jrel.at[:, :, : 6 * B].add(_expand_pose_block(JJj, oh_j))
+    rows.append((rr.reshape(-1), Jrel.reshape(-1, D)))
+    cost = cost + jnp.sum(cc)
+
+    # roll-pitch edges
+    def one_rp(k):
+        idx = priors.rp.idx[k]
+        r, J = rollpitch_residual_jacobians(priors.rp.q_meas[k], state.Q[idx])
+        S = priors.rp.sqrt_info[k]
+        r_w = S @ r
+        s = jnp.sum(r_w * r_w)
+        w = _cauchy_weight(s) * priors.rp.valid[k].astype(dtype)
+        c = 0.5 * _cauchy_rho(s) * priors.rp.valid[k].astype(dtype)
+        return r_w * w, (S @ J) * w, c
+
+    kk = jnp.arange(priors.rp.idx.shape[0])
+    rr, JJ, cc = jax.vmap(one_rp)(kk)
+    oh = _pose_cols_onehot(priors.rp.idx, B, dtype)
+    Jrp = jnp.zeros((kk.shape[0], 2, D), dtype)
+    Jrp = Jrp.at[:, :, : 6 * B].add(_expand_pose_block(JJ, oh))
+    rows.append((rr.reshape(-1), Jrp.reshape(-1, D)))
+    cost = cost + jnp.sum(cc)
+
+    return rows, cost
+
+
+def build_normal_equations(
+    state: WindowState,
+    imu: ImuFactors,
+    proj: ProjFactors,
+    priors: PriorState,
+    G,
+    pixel_sqrt_info,
+    dims: WindowDims,
+    estimate_extrinsic: bool = False,
+):
+    """Returns (H (D,D), b (D,), h (F,), W (F,D), b_l (F,), cost)."""
+    B, F, D = dims.B, dims.F, dims.D
+    dtype = state.P.dtype
+
+    r_imu, J_imu, c_imu = _eval_imu(state, imu, G, dims)
+    r_proj, J_proj, J_dep, c_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
+    prior_rows, c_prior = _eval_priors(state, priors, dims)
+
+    # stack all pose-system rows
+    all_r = [r_imu.reshape(-1), r_proj.reshape(-1)] + [r for r, _ in prior_rows]
+    all_J = [J_imu.reshape(-1, D), J_proj.reshape(-1, D)] + [J for _, J in prior_rows]
+    Jfull = jnp.concatenate(all_J, axis=0)
+    rfull = jnp.concatenate(all_r, axis=0)
+
+    if not estimate_extrinsic:
+        mask = jnp.ones(D, dtype).at[15 * B :].set(0.0)
+        Jfull = Jfull * mask[None, :]
+
+    H = Jfull.T @ Jfull
+    b = -(Jfull.T @ rfull)
+    if not estimate_extrinsic:
+        H = H.at[15 * B :, 15 * B :].add(jnp.eye(6, dtype=dtype))
+
+    # landmark system: per-feature scalar Hessian + coupling row
+    n_obs = proj.fidx.shape[0]
+    h = jax.ops.segment_sum(jnp.sum(J_dep * J_dep, axis=-1), proj.fidx, num_segments=F)
+    Wrows = jnp.einsum("nr,nrd->nd", J_dep, J_proj.reshape(n_obs, 2, D))
+    if not estimate_extrinsic:
+        Wrows = Wrows.at[:, 15 * B :].set(0.0)
+    W = jax.ops.segment_sum(Wrows, proj.fidx, num_segments=F)
+    b_l = jax.ops.segment_sum(-jnp.sum(J_dep * r_proj, axis=-1), proj.fidx, num_segments=F)
+
+    cost = c_imu + c_proj + c_prior
+    return H, b, h, W, b_l, cost
+
+
+def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
+    """Robust cost only (cheap path for LM accept tests)."""
+    _, _, c_imu = _eval_imu(state, imu, G, dims)
+    _, _, _, c_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
+    _, c_prior = _eval_priors(state, priors, dims)
+    return c_imu + c_proj + c_prior
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "iters", "estimate_extrinsic")
+)
+def solve_window(
+    state: WindowState,
+    imu: ImuFactors,
+    proj: ProjFactors,
+    priors: PriorState,
+    G,
+    pixel_sqrt_info,
+    dims: WindowDims,
+    iters: int = 10,
+    estimate_extrinsic: bool = False,
+    init_lambda: float = 1e-4,
+):
+    """Levenberg–Marquardt with landmark Schur elimination; branchless
+    accept/reject in a fori_loop. Returns (state, final_cost)."""
+    D = dims.D
+    dtype = state.P.dtype
+
+    def body(_, carry):
+        st, lam, _ = carry
+        H, b, h, W, b_l, cost0 = build_normal_equations(
+            st, imu, proj, priors, G, pixel_sqrt_info, dims, estimate_extrinsic
+        )
+        # damped landmark diag; empty features get h=0 -> guard
+        h_d = h * (1.0 + lam)
+        h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
+        # Schur complement onto the pose system
+        Winv_h = W / h_safe[:, None]
+        H_s = H - W.T @ Winv_h
+        b_s = b - W.T @ (b_l / h_safe)
+        # damping on the pose system
+        diagH = jnp.clip(jnp.diag(H), 1e-8, None)
+        H_d = H_s + jnp.diag(lam * diagH)
+        L = jnp.linalg.cholesky(H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype))
+        dx = jax.scipy.linalg.cho_solve((L, True), b_s)
+        dl = (b_l - W @ dx) / h_safe
+        trial = retract_state(st, dx, dl, dims)
+        cost1 = window_cost(trial, imu, proj, priors, G, pixel_sqrt_info, dims)
+        ok = (cost1 < cost0) & jnp.isfinite(cost1)
+        new_state = jax.tree_util.tree_map(
+            lambda a, bb: jnp.where(ok, bb, a), st, trial
+        )
+        new_lam = jnp.where(ok, jnp.maximum(lam * 0.4, 1e-9), jnp.minimum(lam * 8.0, 1e6))
+        return new_state, new_lam, jnp.where(ok, cost1, cost0)
+
+    lam0 = jnp.asarray(init_lambda, dtype)
+    init_cost = window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims)
+    state, lam, cost = jax.lax.fori_loop(0, iters, body, (state, lam0, init_cost))
+    return state, cost
