@@ -1,0 +1,613 @@
+"""Sliding-window VIO estimator: host state machine driving jitted device
+super-steps (replaces the reference's Estimator, src/estimator.cpp).
+
+Architecture vs reference (SURVEY.md §7): the data-dependent control flow
+(INITIAL vs NON_LINEAR, MARGIN_OLD vs MARGIN_NEW, failure reset) lives on the
+host; everything numeric — preintegration, the window LM solve, the two-stage
+marginalization — is batched, statically-shaped device code.
+
+Deliberate improvements over the reference, kept because they only tighten
+consistency (documented per-site):
+- preintegrations are re-integrated at the current bias estimate each solve
+  (the functional design makes repropagation free; the reference keeps stale
+  linearization points + first-order bias correction),
+- pseudo-measurement drags are exact and applied AFTER the yaw/position
+  re-anchoring, so priors are always consistent with the stored states (the
+  reference updates against pre-anchor parameter values; see
+  estimator.cpp:1132–1144 vs :518–594 ordering),
+- the velocity rows of the VB prior are rotated by the re-anchoring rotation
+  (the reference rotates the gyro-bias rows — VB.tail<3> at :549 — which is a
+  slip; bias is body-frame).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..factors import ImuNoise, integrate_segment
+from ..factors.priors import (
+    relpose_update,
+    rollpitch_update,
+    se3_prior_update,
+)
+from ..geom import (
+    mat_to_quat,
+    mat_to_ypr,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    ypr_to_mat,
+)
+from ..solver import (
+    ImuFactors,
+    PriorState,
+    ProjFactors,
+    RollPitchFactors,
+    WindowDims,
+    WindowState,
+    solve_window,
+)
+from .feature_manager import FeatureManager
+from .marginalization import (
+    PoseGraphPacket,
+    init_sparsify,
+    marg_backward,
+    marg_forward,
+)
+
+INITIAL = 0
+NON_LINEAR = 2
+
+MARGIN_OLD = 0
+MARGIN_NEW = 1
+
+
+@dataclass
+class KeyframePoints:
+    """Per-keyframe export to the pose graph builder (System.cpp:356–397):
+    world points + their normalized observations in that keyframe."""
+
+    ts: float
+    points_w: np.ndarray  # (n,3)
+    pts_norm: np.ndarray  # (n,2)
+    ids: np.ndarray  # (n,)
+
+
+class Estimator:
+    def __init__(self, cfg: EngineConfig, dims: Optional[WindowDims] = None):
+        self.cfg = cfg
+        w = cfg.window
+        self.dims = dims or WindowDims(
+            B=w.all_size, Vo=w.vo_size, F=w.max_features, N=3072
+        )
+        B = self.dims.B
+        C = w.max_imu_per_frame
+        self.C = C
+
+        self.noise = ImuNoise.from_config(cfg.noise)
+        self.G = np.asarray(cfg.gravity)
+        self.min_parallax = cfg.solver.min_parallax_px / cfg.noise.pixel_sqrt_info
+
+        self.f_manager = FeatureManager(
+            self.dims.F, B, self.dims.Vo, self.min_parallax, cfg.solver.init_depth
+        )
+        self.clear_state()
+
+        # jitted helpers bound to static shapes
+        self._integrate_all = jax.jit(
+            jax.vmap(
+                lambda d, a, g, a0, g0, ba, bg: integrate_segment(
+                    d, a, g, a0, g0, ba, bg, self.noise
+                )
+            )
+        )
+
+    # ------------------------------------------------------------------ state
+    def clear_state(self):
+        B = self.dims.B
+        C = self.C
+        self.Ps = np.zeros((B, 3))
+        self.Qs = np.tile(np.array([1.0, 0, 0, 0]), (B, 1))
+        self.Vs = np.zeros((B, 3))
+        self.Bas = np.zeros((B, 3))
+        self.Bgs = np.zeros((B, 3))
+        self.Headers = np.zeros(B)
+        self.tic = np.asarray(self.cfg.tic_np)
+        self.qic = np.asarray(mat_to_quat(jnp.asarray(self.cfg.ric_np)))
+
+        self.imu_dt = np.zeros((B, C))
+        self.imu_acc = np.zeros((B, C, 3))
+        self.imu_gyr = np.zeros((B, C, 3))
+        self.imu_acc0 = np.zeros((B, 3))
+        self.imu_gyr0 = np.zeros((B, 3))
+        self.imu_cnt = np.zeros(B, dtype=np.int32)
+
+        self.frame_count = 0
+        self.first_imu = True
+        self.acc_0 = np.zeros(3)
+        self.gyr_0 = np.zeros(3)
+        self.solver_flag = INITIAL
+        self.marginalization_flag = MARGIN_OLD
+        self.priors: Optional[PriorState] = None
+        self.failure_count = 0
+
+        self.pose_graph_packets: List[PoseGraphPacket] = []
+        self.keyframe_points: List[KeyframePoints] = []
+        self.last_kld = {}
+        self.f_manager = FeatureManager(
+            self.dims.F, self.dims.B, self.dims.Vo, self.min_parallax,
+            self.cfg.solver.init_depth,
+        )
+
+    # ------------------------------------------------------------------- IMU
+    def process_imu(self, dt: float, acc: np.ndarray, gyr: np.ndarray):
+        """Reference estimator.cpp:91–124: buffer the sample into the current
+        frame segment and propagate the newest state as initial guess."""
+        acc = np.asarray(acc)
+        gyr = np.asarray(gyr)
+        if self.first_imu:
+            self.first_imu = False
+            self.acc_0 = acc
+            self.gyr_0 = gyr
+            j = self.frame_count
+            self.imu_acc0[j] = acc
+            self.imu_gyr0[j] = gyr
+
+        j = self.frame_count
+        if j != 0:
+            if self.imu_cnt[j] == 0:
+                self.imu_acc0[j] = self.acc_0
+                self.imu_gyr0[j] = self.gyr_0
+            k = self.imu_cnt[j]
+            if k < self.C:
+                self.imu_dt[j, k] = dt
+                self.imu_acc[j, k] = acc
+                self.imu_gyr[j, k] = gyr
+                self.imu_cnt[j] += 1
+
+            # midpoint propagation of the newest state (numpy, tiny)
+            R = np.asarray(quat_to_mat(jnp.asarray(self.Qs[j])))
+            un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - self.G
+            un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
+            q_new = np.asarray(
+                quat_normalize(
+                    quat_mul(
+                        jnp.asarray(self.Qs[j]),
+                        jnp.asarray(_small_quat(un_gyr * dt)),
+                    )
+                )
+            )
+            self.Qs[j] = q_new
+            R1 = np.asarray(quat_to_mat(jnp.asarray(q_new)))
+            un_acc_1 = R1 @ (acc - self.Bas[j]) - self.G
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            self.Ps[j] += dt * self.Vs[j] + 0.5 * dt * dt * un_acc
+            self.Vs[j] += dt * un_acc
+        self.acc_0 = acc
+        self.gyr_0 = gyr
+
+    # ------------------------------------------------------------------ image
+    def process_image(self, feat_ids, pts, t: float, vels=None) -> dict:
+        """One frame step (reference estimator.cpp:126–211). Returns a dict of
+        diagnostics."""
+        keyframe = self.f_manager.add_features(self.frame_count, feat_ids, pts, vels)
+        self.marginalization_flag = MARGIN_OLD if keyframe else MARGIN_NEW
+        self.Headers[self.frame_count] = t
+        info = {"keyframe": keyframe, "solved": False}
+
+        B = self.dims.B
+        if self.solver_flag == INITIAL:
+            if self.frame_count == B - 1:
+                ok = self.initial_structure()
+                info["init"] = ok
+                if ok:
+                    self.solver_flag = NON_LINEAR
+                    self.solve_odometry(first=True)
+                    self.slide_window()
+                    self.f_manager.remove_failures()
+                    info["solved"] = True
+                else:
+                    self.slide_window()
+            else:
+                self.frame_count += 1
+        else:
+            self.solve_odometry()
+            if self.failure_detection():
+                info["failure"] = True
+                self.clear_state()
+                return info
+            self.slide_window()
+            self.f_manager.remove_failures()
+            info["solved"] = True
+        return info
+
+    # ----------------------------------------------------------- initialization
+    def initial_structure(self) -> bool:
+        """Visual-inertial initialization. Implemented in initialization.py
+        (SfM + gyro bias + linear alignment); overridable for tests."""
+        from .initialization import initial_structure
+
+        return initial_structure(self)
+
+    def set_ground_truth_init(self, P, Q, V, Ba=None, Bg=None):
+        """Test/bench hook: bypass SfM initialization with known states."""
+        B = self.dims.B
+        self.Ps[:] = P[:B]
+        self.Qs[:] = Q[:B]
+        self.Vs[:] = V[:B]
+        if Ba is not None:
+            self.Bas[:] = Ba
+        if Bg is not None:
+            self.Bgs[:] = Bg
+
+    # ------------------------------------------------------------------ solve
+    def _window_state(self) -> WindowState:
+        return WindowState(
+            P=jnp.asarray(self.Ps),
+            Q=jnp.asarray(self.Qs),
+            V=jnp.asarray(self.Vs),
+            Ba=jnp.asarray(self.Bas),
+            Bg=jnp.asarray(self.Bgs),
+            tic=jnp.asarray(self.tic),
+            qic=jnp.asarray(self.qic),
+            dep=jnp.asarray(self.f_manager.depth_vector()),
+        )
+
+    def _imu_factors(self) -> ImuFactors:
+        """Integrate every frame segment at the current bias estimates."""
+        B = self.dims.B
+        pre = self._integrate_all(
+            jnp.asarray(self.imu_dt[1:]),
+            jnp.asarray(self.imu_acc[1:]),
+            jnp.asarray(self.imu_gyr[1:]),
+            jnp.asarray(self.imu_acc0[1:]),
+            jnp.asarray(self.imu_gyr0[1:]),
+            jnp.asarray(self.Bas[:-1]),
+            jnp.asarray(self.Bgs[:-1]),
+        )
+        valid = (self.imu_cnt[1:] > 0) & (np.asarray(pre.sum_dt) < 10.0)
+        return ImuFactors(pre=pre, valid=jnp.asarray(valid))
+
+    def _solve_once(self, priors: PriorState, iters: int):
+        """One triangulate + window solve + gauge re-anchor pass. Returns the
+        projection-factor dict (reused by marginalization)."""
+        self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
+
+        state = self._window_state()
+        imu_f = self._imu_factors()
+        pf = self.f_manager.build_proj_factors(
+            self.dims.N, marg_old=(self.marginalization_flag == MARGIN_OLD)
+        )
+        proj = ProjFactors(
+            idx_i=jnp.asarray(pf["idx_i"]),
+            idx_j=jnp.asarray(pf["idx_j"]),
+            fidx=jnp.asarray(pf["fidx"]),
+            pts_i=jnp.asarray(pf["pts_i"]),
+            pts_j=jnp.asarray(pf["pts_j"]),
+            valid=jnp.asarray(pf["valid"]),
+        )
+        G = jnp.asarray(self.G)
+        psi = jnp.asarray(self.cfg.noise.pixel_sqrt_info)
+
+        old_P = self.Ps.copy()
+        old_Q = self.Qs.copy()
+
+        new_state, cost = solve_window(
+            state, imu_f, proj, priors, G, psi, self.dims,
+            iters=iters,
+            estimate_extrinsic=bool(self.cfg.estimate_extrinsic),
+        )
+
+        # double2vector: yaw/position gauge re-anchoring (:518–594)
+        new_state = self._reanchor(new_state, old_P[0], old_Q[0])
+
+        self.Ps = np.array(new_state.P)
+        self.Qs = np.array(new_state.Q)
+        self.Vs = np.array(new_state.V)
+        self.Bas = np.array(new_state.Ba)
+        self.Bgs = np.array(new_state.Bg)
+        if self.cfg.estimate_extrinsic:
+            self.tic = np.array(new_state.tic)
+            self.qic = np.array(new_state.qic)
+        self.f_manager.set_depths(np.asarray(new_state.dep))
+        self.last_cost = float(cost)
+        return pf
+
+    def solve_odometry(self, first: bool = False):
+        """triangulate + solve + prior drag + marg (solveOdometry /
+        backendOptimization, estimator.cpp:461–472, 1541–1562). On the first
+        call after initialization this runs BOTH passes, like the reference's
+        back-to-back ifs in backendOptimization: full-window BA +
+        init_sparsify, then the normal prior-constrained solve + marg."""
+        G = jnp.asarray(self.G)
+        psi = jnp.asarray(self.cfg.noise.pixel_sqrt_info)
+
+        if first:
+            # initFactorGraph (:667–1001): full BA without priors, then
+            # recover the initial sparse prior set at the solved state
+            self._solve_once(
+                PriorState.empty(self.dims.Vo), self.cfg.solver.init_max_iterations
+            )
+            pre_vo = jax.tree_util.tree_map(
+                lambda a: a[: self.dims.Vo - 1], self._imu_factors().pre
+            )
+            self.priors, kld = init_sparsify(
+                self._window_state(), pre_vo, G, self.dims.Vo, self.cfg.solver.alpha
+            )
+            self.last_kld["init"] = float(kld)
+
+        old_P = self.Ps.copy()
+        old_Q = self.Qs.copy()
+        old_V = self.Vs.copy()
+        old_Ba = self.Bas.copy()
+        old_Bg = self.Bgs.copy()
+
+        pf = self._solve_once(self.priors, self.cfg.solver.max_iterations)
+
+        # exact pseudo-measurement drag old -> final states (:1132–1144)
+        self._drag_priors(old_P, old_Q, old_V, old_Ba, old_Bg)
+        if self.marginalization_flag == MARGIN_OLD:
+            self._marginalize(pf, G, psi)
+
+    def _reanchor(self, st: WindowState, P0_old, Q0_old) -> WindowState:
+        """Rotate/translate the solution so frame-0 yaw and position match
+        their pre-solve values (double2vector, estimator.cpp:518–560)."""
+        ypr_old = np.asarray(mat_to_ypr(quat_to_mat(jnp.asarray(Q0_old))))
+        ypr_new = np.asarray(mat_to_ypr(quat_to_mat(st.Q[0])))
+        y_diff = ypr_old[0] - ypr_new[0]
+        if abs(abs(ypr_old[1]) - 90) < 1.0 or abs(abs(ypr_new[1]) - 90) < 1.0:
+            # euler singularity: full rotation difference (:538–547)
+            rot = quat_to_mat(jnp.asarray(Q0_old)) @ quat_to_mat(st.Q[0]).T
+        else:
+            rot = ypr_to_mat(jnp.asarray([y_diff, 0.0, 0.0]))
+        rq = mat_to_quat(rot)
+        P0_new = st.P[0]
+        P = jnp.einsum("ij,bj->bi", rot, st.P - P0_new) + jnp.asarray(P0_old)
+        Q = quat_normalize(quat_mul(rq[None, :], st.Q))
+        V = jnp.einsum("ij,bj->bi", rot, st.V)
+        return st._replace(P=P, Q=Q, V=V)
+
+    def _drag_priors(self, old_P, old_Q, old_V, old_Ba, old_Bg):
+        """Exact drags of all pseudo-measurements to the new states."""
+        pr = self.priors
+        Vo = self.dims.Vo
+        oP = jnp.asarray(old_P)
+        oQ = jnp.asarray(old_Q)
+        nP = jnp.asarray(self.Ps)
+        nQ = jnp.asarray(self.Qs)
+
+        se3_t, se3_q = se3_prior_update(pr.se3_t, pr.se3_q, oP[0], oQ[0], nP[0], nQ[0])
+
+        # linear prior: exact drag = shift by the state delta (linear9_factor.h:60–68)
+        k = Vo - 1
+        vb_old_state = np.concatenate([old_V[k], old_Ba[k], old_Bg[k]])
+        vb_new_state = np.concatenate([self.Vs[k], self.Bas[k], self.Bgs[k]])
+        vb_new = pr.vb + jnp.asarray(vb_new_state - vb_old_state)
+
+        rel_dt, rel_dq = [], []
+        for kk in range(Vo):
+            i = kk - 1 if kk >= 1 else 0
+            dt_k, dq_k = relpose_update(
+                pr.rel_dt[kk], pr.rel_dq[kk],
+                oP[i], oQ[i], oP[kk], oQ[kk],
+                nP[i], nQ[i], nP[kk], nQ[kk],
+            )
+            rel_dt.append(dt_k)
+            rel_dq.append(dq_k)
+
+        rp_q = []
+        for kk in range(pr.rp.idx.shape[0]):
+            idx = int(pr.rp.idx[kk])
+            rp_q.append(rollpitch_update(pr.rp.q_meas[kk], oQ[idx], nQ[idx]))
+
+        self.priors = pr._replace(
+            se3_t=se3_t,
+            se3_q=se3_q,
+            vb=vb_new,
+            rel_dt=jnp.stack(rel_dt),
+            rel_dq=jnp.stack(rel_dq),
+            rp=pr.rp._replace(q_meas=jnp.stack(rp_q)),
+        )
+
+    def _marginalize(self, pf: dict, G, psi):
+        """MargForward + MargBackward at the final state (:1554–1557)."""
+        state = self._window_state()
+        pr = self.priors
+        Vo = self.dims.Vo
+        L = 192
+        mp_i = np.tile([[0, 0, 1.0]], (L, 1))
+        mp_j = np.tile([[0, 0, 1.0]], (L, 1))
+        mf = np.zeros(L, np.int32)
+        mv = np.zeros(L, bool)
+        n = min(len(pf["marg_fidx"]), L)
+        mp_i[:n] = pf["marg_pts_i"][:n]
+        mp_j[:n] = pf["marg_pts_j"][:n]
+        mf[:n] = pf["marg_fidx"][:n]
+        mv[:n] = True
+
+        t1, q1, sq1, packet, kld_f = marg_forward(
+            state, pr, jnp.asarray(mp_i), jnp.asarray(mp_j), jnp.asarray(mf),
+            jnp.asarray(mv), psi, self.cfg.solver.alpha, self.Headers[0],
+        )
+        self.pose_graph_packets.append(packet)
+        self.last_kld["forward"] = float(kld_f)
+        self._pending_se3 = (t1, q1, sq1)
+
+        pre_ij = self._imu_factors().pre
+        pre_ij = jax.tree_util.tree_map(lambda a: a[Vo - 1], pre_ij)
+        (rel_dt, rel_dq, rel_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt, kld_b) = marg_backward(
+            state, pre_ij, pr, G, Vo, self.cfg.solver.alpha
+        )
+        self.last_kld["backward"] = float(kld_b)
+        self._pending_backward = (rel_dt, rel_dq, rel_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt)
+
+        # keyframe points export for the pose graph (System.cpp:356–397)
+        self._export_keyframe_points()
+
+    def _export_keyframe_points(self):
+        fm = self.f_manager
+        good = fm.good_mask() & (fm.depth > 0)
+        rows = np.where(good & fm.has_obs[:, 0])[0]
+        if len(rows) == 0:
+            self.keyframe_points.append(
+                KeyframePoints(self.Headers[0], np.zeros((0, 3)), np.zeros((0, 2)), np.zeros(0))
+            )
+            return
+        hosts = fm.start[rows]
+        pts_i = fm.obs[rows, hosts]
+        depths = fm.depth[rows]
+        R = np.asarray(quat_to_mat(jnp.asarray(self.Qs)))
+        Ric = np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+        pw = []
+        for r, h, pi, d in zip(rows, hosts, pts_i, depths):
+            pc = pi * d
+            pb = Ric @ pc + self.tic
+            pw.append(R[h] @ pb + self.Ps[h])
+        obs0 = fm.obs[rows, 0][:, :2]
+        self.keyframe_points.append(
+            KeyframePoints(self.Headers[0], np.asarray(pw), obs0, fm.ids[rows].copy())
+        )
+
+    # ------------------------------------------------------------- failure
+    def failure_detection(self) -> bool:
+        """estimator.cpp:596–665 (only the bias-norm checks are live)."""
+        B1 = self.dims.B - 1
+        if np.linalg.norm(self.Bas[B1]) > self.cfg.solver.bias_acc_threshold:
+            self.failure_count += 1
+            return True
+        if np.linalg.norm(self.Bgs[B1]) > self.cfg.solver.bias_gyr_threshold:
+            self.failure_count += 1
+            return True
+        return False
+
+    # -------------------------------------------------------------- sliding
+    def slide_window(self):
+        B = self.dims.B
+        Vo = self.dims.Vo
+        if self.marginalization_flag == MARGIN_OLD:
+            back_R0 = np.asarray(quat_to_mat(jnp.asarray(self.Qs[0])))
+            back_P0 = self.Ps[0].copy()
+            if self.frame_count == B - 1:
+                # shift all arrays down (:1575–1603)
+                for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.Headers):
+                    arr[:-1] = arr[1:]
+                for arr in (
+                    self.imu_dt, self.imu_acc, self.imu_gyr,
+                    self.imu_acc0, self.imu_gyr0, self.imu_cnt,
+                ):
+                    arr[:-1] = arr[1:]
+                self.imu_cnt[B - 1] = 0
+                self.imu_dt[B - 1] = 0
+                self.imu_acc0[B - 1] = self.acc_0
+                self.imu_gyr0[B - 1] = self.gyr_0
+
+                if self.solver_flag == NON_LINEAR and self.priors is not None:
+                    self._slide_priors()
+
+                # feature bookkeeping (:1707–1724)
+                R0 = back_R0 @ np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+                P0 = back_P0 + back_R0 @ self.tic
+                new_R0 = np.asarray(quat_to_mat(jnp.asarray(self.Qs[0])))
+                R1 = new_R0 @ np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+                P1 = self.Ps[0] + new_R0 @ self.tic
+                if self.solver_flag == NON_LINEAR:
+                    self.f_manager.remove_back_shift_depth(R0, P0, R1, P1)
+                else:
+                    self.f_manager.remove_back()
+        else:
+            if self.frame_count == B - 1:
+                # merge newest segment's IMU into the previous one (:1664–1697)
+                j = self.frame_count
+                n_prev = self.imu_cnt[j - 1]
+                n_new = self.imu_cnt[j]
+                room = self.C - n_prev
+                take = min(n_new, room)
+                self.imu_dt[j - 1, n_prev : n_prev + take] = self.imu_dt[j, :take]
+                self.imu_acc[j - 1, n_prev : n_prev + take] = self.imu_acc[j, :take]
+                self.imu_gyr[j - 1, n_prev : n_prev + take] = self.imu_gyr[j, :take]
+                self.imu_cnt[j - 1] += take
+
+                for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.Headers):
+                    arr[j - 1] = arr[j]
+                self.imu_cnt[j] = 0
+                self.imu_dt[j] = 0
+                self.imu_acc0[j] = self.acc_0
+                self.imu_gyr0[j] = self.gyr_0
+                self.f_manager.remove_front(self.frame_count)
+
+    def _slide_priors(self):
+        """Install pending marginalization outputs + shift edge indices
+        (slideWindow, estimator.cpp:1605–1638)."""
+        pr = self.priors
+        Vo = self.dims.Vo
+
+        # relpose edges: drop (0,1); shift k -> k-1; new backward edge at Vo-1
+        rel_dt = np.asarray(pr.rel_dt).copy()
+        rel_dq = np.asarray(pr.rel_dq).copy()
+        rel_sqrt = np.asarray(pr.rel_sqrt).copy()
+        rel_valid = np.asarray(pr.rel_valid).copy()
+        rel_dt[1 : Vo - 1] = rel_dt[2:Vo]
+        rel_dq[1 : Vo - 1] = rel_dq[2:Vo]
+        rel_sqrt[1 : Vo - 1] = rel_sqrt[2:Vo]
+        rel_valid[1 : Vo - 1] = rel_valid[2:Vo]
+
+        b_dt, b_dq, b_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt = self._pending_backward
+        rel_dt[Vo - 1] = np.asarray(b_dt)
+        rel_dq[Vo - 1] = np.asarray(b_dq)
+        rel_sqrt[Vo - 1] = np.asarray(b_sqrt)
+        rel_valid[Vo - 1] = True
+
+        # rollpitch: append the backward edge (attached to old frame Vo-1),
+        # then shift all indices down and drop index < 0
+        rp_qs = list(np.asarray(pr.rp.q_meas))
+        rp_sqs = list(np.asarray(pr.rp.sqrt_info))
+        rp_idx = list(np.asarray(pr.rp.idx))
+        rp_val = list(np.asarray(pr.rp.valid))
+        # overwrite an invalid slot (capacity Vo is enough: indices 0..Vo-1)
+        slot = rp_val.index(False) if False in rp_val else int(np.argmin(rp_idx))
+        rp_qs[slot] = np.asarray(rp_q)
+        rp_sqs[slot] = np.asarray(rp_sqrt)
+        rp_idx[slot] = Vo - 1
+        rp_val[slot] = True
+        new_idx = np.asarray(rp_idx) - 1
+        new_val = np.asarray(rp_val) & (new_idx >= 0)
+
+        t1, q1, sq1 = self._pending_se3
+
+        self.priors = PriorState(
+            se3_t=t1,
+            se3_q=q1,
+            se3_sqrt=sq1,
+            se3_valid=jnp.asarray(True),
+            vb=jnp.asarray(vb_m),
+            vb_sqrt=jnp.asarray(vb_sqrt),
+            vb_valid=jnp.asarray(True),
+            rel_dt=jnp.asarray(rel_dt),
+            rel_dq=jnp.asarray(rel_dq),
+            rel_sqrt=jnp.asarray(rel_sqrt),
+            rel_valid=jnp.asarray(rel_valid),
+            rp=RollPitchFactors(
+                q_meas=jnp.asarray(np.asarray(rp_qs)),
+                sqrt_info=jnp.asarray(np.asarray(rp_sqs)),
+                idx=jnp.asarray(new_idx.astype(np.int32)),
+                valid=jnp.asarray(new_val),
+            ),
+        )
+
+    # ------------------------------------------------------------- outputs
+    def latest_pose(self):
+        j = self.dims.B - 1
+        return self.Headers[j], self.Ps[j].copy(), self.Qs[j].copy()
+
+
+def _small_quat(phi):
+    """First-order quaternion [1, phi/2] (Utility::deltaQ)."""
+    return jnp.concatenate([jnp.ones(1), jnp.asarray(phi) * 0.5])

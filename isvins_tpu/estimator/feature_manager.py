@@ -1,0 +1,304 @@
+"""Feature/track manager: fixed-capacity structure-of-arrays replacement for
+the reference's pointer-rich `list<IDFeatures>` (feature_manager.{h,cpp}).
+
+Host-side bookkeeping is numpy (insertion/removal is inherently sequential);
+the numerical kernels (multi-view DLT triangulation) are batched JAX over all
+tracks at once. Rows of the SoA double as the solver's landmark slots, so
+`ProjFactors.fidx` indexes straight into `WindowState.dep`.
+
+Semantics parity (file:line into the reference):
+- keyframe decision by mean compensated parallax (addFeatureAndCheckParallax,
+  feature_manager.cpp:54–101; threshold MIN_PARALLAX = keyframe_parallax/460)
+- goodFeature = used_num >= 2 && start_frame < Vo_SIZE (:27–31)
+- triangulation via masked SVD, depth clamped to [0.1, 8] else INIT_DEPTH
+  (:206–258)
+- depth re-anchoring on window slide (removeBackShiftDepth :275–313,
+  removeBack :315, removeFront :334)
+- solve_flag == 2 (failed depth) rows removed by remove_failures (:156–174)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import quat_to_mat
+
+
+class FeatureManager:
+    def __init__(self, capacity: int, window: int, vo_size: int, min_parallax: float,
+                 init_depth: float = 5.0):
+        self.F = capacity
+        self.B = window
+        self.Vo = vo_size
+        self.min_parallax = min_parallax
+        self.init_depth = init_depth
+
+        F, B = capacity, window
+        self.ids = np.full(F, -1, dtype=np.int64)  # -1 = free slot
+        self.start = np.zeros(F, dtype=np.int32)
+        self.obs = np.zeros((F, B, 3))  # normalized [x,y,1]
+        self.vel = np.zeros((F, B, 2))  # normalized-plane velocity
+        self.has_obs = np.zeros((F, B), dtype=bool)
+        self.depth = np.full(F, -1.0)  # estimated depth in host frame; -1 = unset
+        self.solve_flag = np.zeros(F, dtype=np.int8)
+        self.outlier = np.zeros(F, dtype=bool)
+        self.last_track_num = 0
+
+    # -------------------------------------------------------------- helpers
+    def active(self) -> np.ndarray:
+        return self.ids >= 0
+
+    def used_num(self) -> np.ndarray:
+        return self.has_obs.sum(axis=1)
+
+    def end_frame(self) -> np.ndarray:
+        """Index of last observation (tracks are contiguous from start)."""
+        last = np.where(
+            self.has_obs.any(axis=1), self.B - 1 - np.argmax(self.has_obs[:, ::-1], axis=1), -1
+        )
+        return last
+
+    def good_mask(self) -> np.ndarray:
+        """goodFeature (feature_manager.cpp:27–31)."""
+        return self.active() & (self.used_num() >= 2) & (self.start < self.Vo)
+
+    def feature_count(self) -> int:
+        return int(self.good_mask().sum())
+
+    # -------------------------------------------------------------- ingest
+    def add_features(self, frame_count: int, feat_ids, pts, vels=None) -> bool:
+        """Insert the frame's feature packet; returns True if the frame is a
+        keyframe (-> MARGIN_OLD) per the parallax test."""
+        feat_ids = np.asarray(feat_ids)
+        pts = np.asarray(pts)
+        self.last_track_num = 0
+        id_to_row = {int(i): r for r, i in enumerate(self.ids) if i >= 0}
+        free_rows = np.where(self.ids < 0)[0]
+        free_ptr = 0
+        for k, fid in enumerate(feat_ids):
+            fid = int(fid)
+            row = id_to_row.get(fid)
+            if row is None:
+                if free_ptr >= len(free_rows):
+                    continue  # capacity full: drop new feature
+                row = int(free_rows[free_ptr])
+                free_ptr += 1
+                self.ids[row] = fid
+                self.start[row] = frame_count
+                self.has_obs[row, :] = False
+                self.depth[row] = -1.0
+                self.solve_flag[row] = 0
+                self.outlier[row] = False
+            else:
+                self.last_track_num += 1
+            self.obs[row, frame_count] = pts[k]
+            if vels is not None:
+                self.vel[row, frame_count] = vels[k]
+            self.has_obs[row, frame_count] = True
+
+        if frame_count < 2 or self.last_track_num < 20:
+            return True
+        # compensated parallax between frame_count-2 and frame_count-1
+        sel = (
+            self.active()
+            & (self.start <= frame_count - 2)
+            & (self.end_frame() >= frame_count - 1)
+        )
+        if not sel.any():
+            return True
+        p2 = self.obs[sel, frame_count - 2]
+        p1 = self.obs[sel, frame_count - 1]
+        du = p2[:, 0] / p2[:, 2] - p1[:, 0]
+        dv = p2[:, 1] / p2[:, 2] - p1[:, 1]
+        parallax = np.sqrt(du * du + dv * dv)
+        return float(parallax.mean()) >= self.min_parallax
+
+    def get_corresponding(self, l: int, r: int):
+        sel = self.active() & self.has_obs[:, l] & self.has_obs[:, r]
+        return self.obs[sel, l], self.obs[sel, r]
+
+    # ------------------------------------------------------- triangulation
+    def triangulate(self, P, Q, tic, qic):
+        """Batched multi-view DLT for all good features without depth
+        (feature_manager.cpp:206–258). P (B,3), Q (B,4) window states."""
+        need = self.good_mask() & (self.depth <= 0) & ~self.outlier
+        if not need.any():
+            return
+        rows = np.where(need)[0]
+        depths = np.asarray(
+            _triangulate_batch(
+                jnp.asarray(self.obs[rows]),
+                jnp.asarray(self.has_obs[rows]),
+                jnp.asarray(self.start[rows]),
+                jnp.asarray(P), jnp.asarray(Q),
+                jnp.asarray(tic), jnp.asarray(qic),
+            )
+        )
+        bad = (depths < 0.1) | (depths > 8.0) | ~np.isfinite(depths)
+        depths = np.where(bad, self.init_depth, depths)
+        self.depth[rows] = depths
+
+    # --------------------------------------------------------- depth <-> solver
+    def depth_vector(self) -> np.ndarray:
+        """(F,) inverse depths for solver slots; zeros for non-good rows."""
+        out = np.zeros(self.F)
+        good = self.good_mask()
+        d = np.where(self.depth[good] > 1e-6, self.depth[good], self.init_depth)
+        out[good] = 1.0 / d
+        return out
+
+    def set_depths(self, inv_dep: np.ndarray):
+        """Write back solver results (setDepth, feature_manager.cpp:145–163)."""
+        good = self.good_mask()
+        rows = np.where(good)[0]
+        inv = np.asarray(inv_dep)[rows]
+        depth = np.where(np.abs(inv) > 1e-8, 1.0 / inv, -1.0)
+        self.depth[rows] = depth
+        self.solve_flag[rows] = np.where((depth < 0) | (depth > 10), 2, 1)
+
+    def remove_failures(self):
+        kill = self.active() & ((self.solve_flag == 2) | self.outlier)
+        self.ids[kill] = -1
+        self.has_obs[kill] = False
+
+    # ----------------------------------------------------------- window shifts
+    def _shift_all_left(self):
+        """Window slid by one: every slot-indexed observation moves down one.
+        (The reference stores obs relative to start_frame, so only the
+        start_frame decrement is needed there; our SoA is slot-indexed.)"""
+        self.obs[:, :-1] = self.obs[:, 1:]
+        self.vel[:, :-1] = self.vel[:, 1:]
+        self.has_obs[:, :-1] = self.has_obs[:, 1:]
+        self.has_obs[:, -1] = False
+
+    def remove_back_shift_depth(self, marg_R, marg_P, new_R, new_P):
+        """MARGIN_OLD after NON_LINEAR: drop frame-0 obs, re-anchor host depth
+        to the next frame (feature_manager.cpp:275–313). marg_* = camera pose
+        of the dropped frame, new_* = camera pose of the new frame 0."""
+        act = self.active()
+        starts0 = act & (self.start == 0)
+        uv0 = self.obs[:, 0].copy()
+
+        self._shift_all_left()
+        self.start[act & (self.start != 0)] -= 1
+
+        for r in np.where(starts0)[0]:
+            if self.has_obs[r].sum() < 2:
+                self.ids[r] = -1
+                self.has_obs[r] = False
+                continue
+            if self.depth[r] > 0:
+                pts_i = uv0[r] * self.depth[r]
+                w_pts = marg_R @ pts_i + marg_P
+                pts_j = new_R.T @ (w_pts - new_P)
+                self.depth[r] = pts_j[2] if pts_j[2] > 0 else self.init_depth
+            else:
+                self.depth[r] = -1.0
+
+    def remove_back(self):
+        """MARGIN_OLD during INITIAL (feature_manager.cpp:315–331)."""
+        act = self.active()
+        self._shift_all_left()
+        self.start[act & (self.start != 0)] -= 1
+        dead = act & ~self.has_obs.any(axis=1)
+        self.ids[dead] = -1
+
+    def remove_front(self, frame_count: int):
+        """MARGIN_NEW: the second-newest frame is dropped and the newest frame
+        takes its slot (feature_manager.cpp:334–354). Slot-indexed: delete
+        slot frame_count-1, shift the newest obs down."""
+        act = self.active()
+        j = frame_count - 1
+        self.obs[:, j:-1] = self.obs[:, j + 1 :]
+        self.vel[:, j:-1] = self.vel[:, j + 1 :]
+        self.has_obs[:, j:-1] = self.has_obs[:, j + 1 :]
+        self.has_obs[:, -1] = False
+        self.start[act & (self.start == frame_count)] -= 1
+        dead = act & ~self.has_obs.any(axis=1)
+        self.ids[dead] = -1
+
+    # ------------------------------------------------------------- export
+    def build_proj_factors(self, N: int, marg_old: bool = False):
+        """Flatten good tracks into padded ProjFactors arrays + the forward-
+        marginalization subset (host frame 0, observed at frame 1 — the
+        estimator.cpp:1083–1087 tagging). Returns dict of numpy arrays."""
+        good = self.good_mask()
+        rows = np.where(good)[0]
+        idx_i, idx_j, fidx, pts_i, pts_j = [], [], [], [], []
+        m_pts_i, m_pts_j, m_fidx = [], [], []
+        for r in rows:
+            host = int(self.start[r])
+            frames = np.where(self.has_obs[r])[0]
+            pi = self.obs[r, host]
+            for f in frames:
+                if f == host:
+                    continue
+                idx_i.append(host)
+                idx_j.append(f)
+                fidx.append(r)
+                pts_i.append(pi)
+                pts_j.append(self.obs[r, f])
+                if marg_old and host == 0 and f == 1:
+                    m_pts_i.append(pi)
+                    m_pts_j.append(self.obs[r, f])
+                    m_fidx.append(r)
+        n = len(idx_i)
+        if n > N:
+            # capacity overflow: keep the first N (should not happen with
+            # MAX_CNT*B < N)
+            idx_i, idx_j, fidx = idx_i[:N], idx_j[:N], fidx[:N]
+            pts_i, pts_j = pts_i[:N], pts_j[:N]
+            n = N
+        pad = N - n
+
+        def pk(lst, padval):
+            arr = np.asarray(lst, dtype=np.float64).reshape(n, -1) if n else np.zeros((0, len(padval)))
+            return np.concatenate([arr, np.tile(padval, (pad, 1))])
+
+        out = {
+            "idx_i": np.concatenate([np.asarray(idx_i, np.int32), np.zeros(pad, np.int32)]),
+            "idx_j": np.concatenate([np.asarray(idx_j, np.int32), np.ones(pad, np.int32)]),
+            "fidx": np.concatenate([np.asarray(fidx, np.int32), np.zeros(pad, np.int32)]),
+            "pts_i": pk(pts_i, np.array([0.0, 0.0, 1.0])),
+            "pts_j": pk(pts_j, np.array([0.0, 0.0, 1.0])),
+            "valid": np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
+            "marg_pts_i": np.asarray(m_pts_i).reshape(-1, 3),
+            "marg_pts_j": np.asarray(m_pts_j).reshape(-1, 3),
+            "marg_fidx": np.asarray(m_fidx, np.int32).reshape(-1),
+        }
+        return out
+
+
+@jax.jit
+def _triangulate_batch(obs, has_obs, start, P, Q, tic, qic):
+    """Masked multi-view DLT (feature_manager.cpp:216–246), vmapped over
+    tracks. obs (n,B,3), has_obs (n,B), start (n,); returns host-frame depths
+    (n,)."""
+    B = P.shape[0]
+    R = quat_to_mat(Q)  # (B,3,3)
+    Ric = quat_to_mat(qic)
+    t_cam = P + jnp.einsum("bij,j->bi", R, tic)  # (B,3)
+    R_cam = jnp.einsum("bij,jk->bik", R, Ric)  # (B,3,3)
+
+    def one(o, m, s):
+        t0 = t_cam[s]
+        R0 = R_cam[s]
+        # relative transforms host->each frame
+        t_rel = jnp.einsum("ji,bi->bj", R0, t_cam - t0)  # R0^T (t1-t0), (B,3)
+        R_rel = jnp.einsum("ji,bik->bjk", R0, R_cam)  # R0^T R1
+        # projection matrices P = [R_rel^T | -R_rel^T t_rel]
+        Pl = jnp.swapaxes(R_rel, -1, -2)  # (B,3,3)
+        Pt = -jnp.einsum("bij,bj->bi", Pl, t_rel)  # (B,3)
+        Pm = jnp.concatenate([Pl, Pt[..., None]], axis=-1)  # (B,3,4)
+        f = o / jnp.linalg.norm(o, axis=-1, keepdims=True)  # (B,3)
+        row0 = f[:, 0:1] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 0, :]
+        row1 = f[:, 1:2] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 1, :]
+        w = m.astype(o.dtype)[:, None]
+        A = jnp.concatenate([row0 * w, row1 * w], axis=0)  # (2B,4)
+        _, _, Vh = jnp.linalg.svd(A, full_matrices=False)
+        v = Vh[-1]
+        return v[2] / jnp.where(jnp.abs(v[3]) > 1e-12, v[3], 1e-12)
+
+    return jax.vmap(one)(obs, has_obs, start)
