@@ -1,0 +1,271 @@
+"""Visual-inertial initialization orchestration (initialStructure /
+visualInitialAlign, estimator.cpp:239–429).
+
+Pipeline: IMU excitation check -> seed-pair relative pose (batched E-RANSAC)
+-> chained PnP + two-view triangulation across the window -> projection-only
+bundle adjustment (reusing the window LM solver with IMU factors masked out —
+the same batched device kernel; the reference builds a separate ceres
+autodiff SfM problem, initial_sfm.cpp:232–289) -> gyro-bias solve ->
+velocity/gravity/scale linear alignment + gravity refinement -> state
+application with gravity-aligned, yaw-zeroed world frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import (
+    g2R,
+    mat_to_quat,
+    mat_to_ypr,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    ypr_to_mat,
+)
+from ..initial import linear_alignment, solve_gyroscope_bias, solve_relative_pose
+from ..initial.five_point import _triangulate_pair
+from ..initial.pnp import pnp_gn
+from ..solver import PriorState, ProjFactors, WindowState, solve_window
+
+
+def check_imu_excitation(est) -> bool:
+    """estimator.cpp:213–238: stddev of mean specific force across segments."""
+    pre = est._imu_factors()
+    dv = np.asarray(pre.pre.delta_v)
+    dt = np.asarray(pre.pre.sum_dt)
+    ok = dt > 1e-6
+    if ok.sum() < 2:
+        return False
+    g_seg = dv[ok] / dt[ok][:, None]
+    var = np.sqrt(((g_seg - g_seg.mean(0)) ** 2).sum(1).mean())
+    return var >= 0.25
+
+
+def find_seed_pair(est):
+    """relativePose (estimator.cpp:431–459): earliest frame with >20
+    correspondences to the newest frame and mean parallax*460 > 30."""
+    B = est.dims.B
+    fm = est.f_manager
+    for i in range(B - 2):
+        a, b = fm.get_corresponding(i, B - 1)
+        if len(a) > 20:
+            par = np.linalg.norm(a[:, :2] - b[:, :2], axis=1).mean()
+            if par * 460.0 > 30.0:
+                ok, R, T, inl = solve_relative_pose(a[:, :2], b[:, :2])
+                if ok:
+                    return i, R, T
+    return None, None, None
+
+
+def global_sfm(est, l, R_rel, T_rel):
+    """Camera poses (cam-to-c0) for every window frame + landmark depths via
+    chained PnP + triangulation + projection-only BA (initial_sfm.cpp
+    construct, :58–289). Returns (ok, q_cw (B,4) world-to-cam, t_cw (B,3),
+    inv_depth (F,) in host frames)."""
+    B = est.dims.B
+    fm = est.f_manager
+    F = est.dims.F
+
+    # world-to-cam poses; seed l = identity, last = inverse of (R_rel, T_rel)
+    q_wc = np.tile(np.array([1.0, 0, 0, 0]), (B, 1))  # cam-to-world
+    t_wc = np.zeros((B, 3))
+    q_wc[B - 1] = np.asarray(mat_to_quat(jnp.asarray(R_rel)))
+    t_wc[B - 1] = T_rel
+    have_pose = np.zeros(B, bool)
+    have_pose[l] = True
+    have_pose[B - 1] = True
+
+    pts3d = np.full((F, 3), np.nan)
+
+    def w2c(i):
+        q = np.asarray(quat_conj(jnp.asarray(q_wc[i])))
+        t = -np.asarray(quat_rotate(jnp.asarray(q), jnp.asarray(t_wc[i])))
+        return q, t
+
+    def triangulate_pair_frames(i, j):
+        """Triangulate untriangulated tracks seen in frames i and j."""
+        qi, ti = w2c(i)
+        qj, tj = w2c(j)
+        # relative: cam_j = T_j^w2c ∘ (T_i^w2c)^-1 applied to cam_i coords
+        # x_j = R_ji x_i + t_ji
+        R_i = np.asarray(quat_to_mat(jnp.asarray(qi)))
+        R_j = np.asarray(quat_to_mat(jnp.asarray(qj)))
+        R_ji = R_j @ R_i.T
+        t_ji = tj - R_ji @ ti
+        sel = (
+            fm.active()
+            & fm.has_obs[:, i]
+            & fm.has_obs[:, j]
+            & np.isnan(pts3d[:, 0])
+        )
+        rows = np.where(sel)[0]
+        if len(rows) == 0:
+            return
+        p1 = fm.obs[rows, i][:, :2]
+        p2 = fm.obs[rows, j][:, :2]
+        d1, d2 = _triangulate_pair(
+            jnp.asarray(R_ji), jnp.asarray(t_ji), jnp.asarray(p1), jnp.asarray(p2)
+        )
+        d1 = np.asarray(d1)
+        good = (d1 > 0.05) & np.asarray(d2 > 0.05)
+        # cam_i point -> world
+        pc = np.concatenate([p1, np.ones((len(rows), 1))], axis=1) * d1[:, None]
+        pw = (R_i.T @ (pc - ti).T).T
+        pts3d[rows[good]] = pw[good]
+
+    def pnp_frame(i, guess_from):
+        sel = fm.active() & fm.has_obs[:, i] & ~np.isnan(pts3d[:, 0])
+        rows = np.where(sel)[0]
+        if len(rows) < 6:
+            return False
+        q0, t0 = w2c(guess_from)
+        q, t, _ = pnp_gn(pts3d[rows], fm.obs[rows, i][:, :2], q0, t0, iters=10)
+        q = np.asarray(q)
+        t = np.asarray(t)
+        # store cam-to-world
+        qi = np.asarray(quat_conj(jnp.asarray(q)))
+        q_wc[i] = qi
+        t_wc[i] = -np.asarray(quat_rotate(jnp.asarray(qi), jnp.asarray(t)))
+        have_pose[i] = True
+        return True
+
+    triangulate_pair_frames(l, B - 1)
+    for i in range(l + 1, B - 1):
+        if not pnp_frame(i, i - 1 if have_pose[i - 1] else l):
+            return False, None, None, None
+        triangulate_pair_frames(i, B - 1)
+    for i in range(l - 1, -1, -1):
+        if not pnp_frame(i, i + 1):
+            return False, None, None, None
+        triangulate_pair_frames(i, l)
+    # triangulate leftovers from first/last observation
+    for r in np.where(fm.active() & np.isnan(pts3d[:, 0]))[0]:
+        frames = np.where(fm.has_obs[r])[0]
+        if len(frames) >= 2:
+            triangulate_pair_frames(frames[0], frames[-1])
+
+    # ---- projection-only BA on the window solver
+    tracked = fm.active() & ~np.isnan(pts3d[:, 0])
+    inv_dep = np.zeros(F)
+    for r in np.where(tracked)[0]:
+        host = int(fm.start[r])
+        q, t = w2c(host)
+        pc = np.asarray(quat_rotate(jnp.asarray(q), jnp.asarray(pts3d[r]))) + t
+        if pc[2] < 0.05:
+            tracked[r] = False
+            continue
+        inv_dep[r] = 1.0 / pc[2]
+
+    idx_i, idx_j, fidx, pi_l, pj_l = [], [], [], [], []
+    for r in np.where(tracked)[0]:
+        host = int(fm.start[r])
+        for f in np.where(fm.has_obs[r])[0]:
+            if f == host:
+                continue
+            idx_i.append(host)
+            idx_j.append(f)
+            fidx.append(r)
+            pi_l.append(fm.obs[r, host])
+            pj_l.append(fm.obs[r, f])
+    n = len(idx_i)
+    if n < 30:
+        return False, None, None, None
+    N = est.dims.N
+    n = min(n, N)
+    pad = N - n
+    proj = ProjFactors(
+        idx_i=jnp.asarray(np.concatenate([idx_i[:n], np.zeros(pad)]).astype(np.int32)),
+        idx_j=jnp.asarray(np.concatenate([idx_j[:n], np.ones(pad)]).astype(np.int32)),
+        fidx=jnp.asarray(np.concatenate([fidx[:n], np.zeros(pad)]).astype(np.int32)),
+        pts_i=jnp.asarray(np.concatenate([np.asarray(pi_l[:n]).reshape(-1, 3), np.tile([[0, 0, 1.0]], (pad, 1))])),
+        pts_j=jnp.asarray(np.concatenate([np.asarray(pj_l[:n]).reshape(-1, 3), np.tile([[0, 0, 1.0]], (pad, 1))])),
+        valid=jnp.asarray(np.concatenate([np.ones(n), np.zeros(pad)]).astype(bool)),
+    )
+    state = WindowState(
+        P=jnp.asarray(t_wc),
+        Q=jnp.asarray(q_wc),
+        V=jnp.zeros((B, 3)),
+        Ba=jnp.zeros((B, 3)),
+        Bg=jnp.zeros((B, 3)),
+        tic=jnp.zeros(3),
+        qic=jnp.asarray([1.0, 0, 0, 0]),
+        dep=jnp.asarray(inv_dep),
+    )
+    imu_f = est._imu_factors()
+    imu_off = imu_f._replace(valid=jnp.zeros_like(imu_f.valid))
+    priors = PriorState.empty(est.dims.Vo)
+    # gauge: anchor seed-frame... pose 0 (any anchor works; damping holds scale)
+    priors = priors._replace(
+        se3_t=state.P[0], se3_q=state.Q[0],
+        se3_sqrt=jnp.eye(6) * 100.0, se3_valid=jnp.asarray(True),
+    )
+    G = jnp.asarray(est.G)
+    psi = jnp.asarray(est.cfg.noise.pixel_sqrt_info)
+    state2, cost = solve_window(
+        state, imu_off, proj, priors, G, psi, est.dims,
+        iters=est.cfg.solver.init_max_iterations,
+    )
+    if not np.isfinite(float(cost)):
+        return False, None, None, None
+    q_wc = np.array(state2.Q)
+    t_wc = np.array(state2.P)
+    return True, q_wc, t_wc, np.array(state2.dep)
+
+
+def run_visual_inertial_init(est) -> bool:
+    if not check_imu_excitation(est):
+        return False
+    l, R_rel, T_rel = find_seed_pair(est)
+    if l is None:
+        return False
+    ok, q_wc, t_wc, inv_dep = global_sfm(est, l, R_rel, T_rel)
+    if not ok:
+        est.marginalization_flag = 0  # MARGIN_OLD (estimator.cpp:277)
+        return False
+
+    B = est.dims.B
+    RIC = np.asarray(est.cfg.ric_np)
+    TIC = np.asarray(est.cfg.tic_np)
+    R_cam = np.asarray(quat_to_mat(jnp.asarray(q_wc)))  # cam-to-c0
+    R_body = np.einsum("bij,kj->bik", R_cam, RIC)  # R_cam @ RIC^T
+    T_cam = t_wc
+
+    # ---- gyro bias + re-integration (initial_aligment.cpp:3–37)
+    pre_list_raw = est._imu_factors().pre
+    pres = [jax.tree_util.tree_map(lambda a: a[k], pre_list_raw) for k in range(B - 1)]
+    dbg = solve_gyroscope_bias(R_body, pres)
+    est.Bgs[:] = est.Bgs + dbg
+    pre_new = est._imu_factors().pre
+    pres = [jax.tree_util.tree_map(lambda a: a[k], pre_new) for k in range(B - 1)]
+
+    # ---- linear alignment (+ gravity refinement)
+    ok, g_c0, x = linear_alignment(R_body, T_cam, pres, TIC, float(np.linalg.norm(est.G)))
+    if not ok:
+        return False
+    s = x[-1]
+
+    # ---- apply (visualInitialAlign, estimator.cpp:368–427)
+    Ps = np.zeros((B, 3))
+    for i in range(B):
+        Ps[i] = s * T_cam[i] - R_body[i] @ TIC
+    Ps = Ps - Ps[0]
+    Vs = np.einsum("bij,bj->bi", R_body, x[: 3 * B].reshape(B, 3))
+
+    R0 = np.asarray(g2R(jnp.asarray(g_c0)))
+    yaw = float(np.asarray(mat_to_ypr(jnp.asarray(R0 @ R_body[0])))[0])
+    R0 = np.asarray(ypr_to_mat(jnp.asarray([-yaw, 0.0, 0.0]))) @ R0
+
+    est.Ps[:] = np.einsum("ij,bj->bi", R0, Ps)
+    est.Vs[:] = np.einsum("ij,bj->bi", R0, Vs)
+    R_w = np.einsum("ij,bjk->bik", R0, R_body)
+    est.Qs[:] = np.asarray(mat_to_quat(jnp.asarray(R_w)))
+    est.Bas[:] = 0.0
+
+    # depths: reset and let the estimator re-triangulate at metric poses
+    est.f_manager.depth[:] = -1.0
+    return True

@@ -14,7 +14,8 @@ from isvins_tpu.solver import WindowDims
 from isvins_tpu.utils.synthetic import make_world, project
 
 
-def run_sequence(n_frames=30, B=10, Vo=4, px_noise=0.0, imu_noise=False, seed=0):
+def run_sequence(n_frames=30, B=10, Vo=4, px_noise=0.0, imu_noise=False, seed=0,
+                 gt_init=True, n_landmarks=240):
     cfg = euroc_config()
     cfg = cfg.replace(
         window=WindowConfig(vo_size=Vo, all_size=B, max_features=256, max_imu_per_frame=64),
@@ -36,17 +37,17 @@ def run_sequence(n_frames=30, B=10, Vo=4, px_noise=0.0, imu_noise=False, seed=0)
             noise=NoiseConfig(acc_n=0.01, gyr_n=0.001, acc_w=1e-4, gyr_w=1e-5)
         )
     world = make_world(
-        n_frames=n_frames, n_landmarks=240, seed=seed, noise_acc=na, noise_gyr=ng
+        n_frames=n_frames, n_landmarks=n_landmarks, seed=seed, noise_acc=na, noise_gyr=ng
     )
     dims = WindowDims(B=B, Vo=Vo, F=256, N=2048)
     est = Estimator(cfg, dims)
 
-    def gt_init(e):
-        e.set_ground_truth_init(world.P, world.Q, world.V)
-        # reset per-frame integration start samples consistent with buffers
-        e.f_manager.depth[:] = -1.0  # force re-triangulation at GT poses
+    if gt_init:
+        def _hook(e):
+            e.set_ground_truth_init(world.P, world.Q, world.V)
+            e.f_manager.depth[:] = -1.0  # force re-triangulation at GT poses
 
-    est._gt_init = gt_init
+        est._gt_init = _hook
 
     rng = np.random.default_rng(seed + 100)
     tic = np.asarray(cfg.tic_np)
@@ -101,6 +102,18 @@ def test_e2e_noiseless():
     assert len(est.pose_graph_packets) >= 5
     assert np.isfinite(est.last_kld.get("forward", np.nan))
     assert np.isfinite(est.last_kld.get("backward", np.nan))
+    assert est.failure_count == 0
+
+
+def test_e2e_self_init():
+    """Full pipeline including the SfM + VI-alignment initialization chain
+    (no ground-truth bootstrap)."""
+    est, world, traj = run_sequence(
+        n_frames=26, px_noise=0.3 / 460.0, gt_init=False, n_landmarks=700
+    )
+    assert len(traj) >= 8, "self-initialization failed"
+    emax, emean = ate(traj, world, align=True)
+    assert emax < 0.25, (emax, emean)
     assert est.failure_count == 0
 
 
