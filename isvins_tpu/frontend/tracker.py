@@ -1,0 +1,165 @@
+"""Feature tracker orchestration (replaces FeatureTracker,
+src/feature_tracker/feature_tracker_simple.cpp).
+
+Per frame (readImage, :81–151): CLAHE -> pyramidal LK from the previous frame
+-> border/err rejection -> epipolar RANSAC outlier rejection on the
+normalized plane (rejectWithF, :153–180; the reference's virtual-pinhole
+pixel threshold F_THRESHOLD/460 becomes a normalized-plane threshold) ->
+min-distance dedup preferring the longest-lived tracks (setMask, :37–69) ->
+Shi-Tomasi + NMS refill to max_cnt (:140) -> undistortion + normalized-plane
+velocities (:197–244) -> monotonic id assignment (:182–188).
+
+Host object holds fixed-capacity SoA state; all pixel math is jitted device
+kernels (one compile per image size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .camera import PinholeRadtan
+from .image_ops import clahe, min_dist_mask, nms_topk, shi_tomasi_response
+from .lk import pyramidal_lk
+from ..initial.five_point import _ransac_core
+
+
+class FeatureTracker:
+    def __init__(self, cam_cfg, tracker_cfg):
+        self.cam = PinholeRadtan.from_config(cam_cfg)
+        self.cfg = tracker_cfg
+        self.W = cam_cfg.width
+        self.H = cam_cfg.height
+        M = tracker_cfg.max_cnt
+        self.M = M
+
+        self.pts = np.zeros((M, 2))
+        self.ids = np.full(M, -1, dtype=np.int64)
+        self.track_cnt = np.zeros(M, dtype=np.int32)
+        self.valid = np.zeros(M, dtype=bool)
+        self.prev_un = np.zeros((M, 3))
+        self.prev_img = None
+        self.prev_time = None
+        self.next_id = 0
+
+        self._detect = jax.jit(self._detect_impl, static_argnames=("k",))
+
+    # ------------------------------------------------------------- pipeline
+    def read_image(self, img: np.ndarray, t: float):
+        """img: (H,W) uint8/float. Returns dict with ids, normalized points,
+        pixel coords, velocities for currently tracked features."""
+        imgf = jnp.asarray(img, jnp.float32)
+        if self.cfg.equalize:
+            imgf = clahe(imgf)
+
+        if self.prev_img is not None and self.valid.any():
+            pts1, ok, err = pyramidal_lk(
+                self.prev_img, imgf,
+                jnp.asarray(self.pts, jnp.float32), jnp.asarray(self.valid),
+                levels=self.cfg.lk_levels, half=self.cfg.lk_win // 2,
+            )
+            pts1 = np.array(pts1)
+            ok = np.asarray(ok) & self.valid & self._in_border(pts1)
+            self.pts = pts1
+            self.valid = ok
+            self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
+
+            # epipolar outlier rejection (rejectWithF)
+            self._reject_with_f()
+
+        # min-distance dedup, longest tracks win (setMask)
+        self._dedup_min_dist()
+
+        # refill with new detections
+        n_cur = int(self.valid.sum())
+        if n_cur < self.M:
+            self._refill(imgf, self.M - n_cur)
+
+        # undistort + velocities
+        un = np.array(self.cam.lift_projective(jnp.asarray(self.pts)))
+        vel = np.zeros((self.M, 2))
+        if self.prev_time is not None:
+            dt = max(t - self.prev_time, 1e-6)
+            had_prev = self.valid & (self.track_cnt > 1)
+            vel[had_prev] = (un[had_prev, :2] - self.prev_un[had_prev, :2]) / dt
+        self.prev_un = un.copy()
+        self.prev_img = imgf
+        self.prev_time = t
+
+        sel = self.valid
+        return {
+            "ids": self.ids[sel].copy(),
+            "pts_norm": un[sel].copy(),
+            "pts_px": self.pts[sel].copy(),
+            "vel": vel[sel].copy(),
+            "track_cnt": self.track_cnt[sel].copy(),
+        }
+
+    # -------------------------------------------------------------- helpers
+    def _in_border(self, pts):
+        b = self.cfg.border
+        return (
+            (pts[:, 0] >= b)
+            & (pts[:, 0] < self.W - b)
+            & (pts[:, 1] >= b)
+            & (pts[:, 1] < self.H - b)
+        )
+
+    def _reject_with_f(self):
+        rows = np.where(self.valid & (self.track_cnt > 1))[0]
+        if len(rows) < 15:
+            return
+        un_prev = self.prev_un[rows, :2]
+        un_cur = np.asarray(self.cam.lift_projective(jnp.asarray(self.pts[rows])))[:, :2]
+        thresh = self.cfg.f_threshold / 460.0
+        n = len(rows)
+        rng = np.random.default_rng(0)
+        samples = np.stack([rng.choice(n, size=8, replace=False) for _ in range(128)])
+        _, _, inl, n_inl, _ = _ransac_core(
+            jnp.asarray(un_prev), jnp.asarray(un_cur), jnp.ones(n, bool),
+            jnp.asarray(samples), thresh * thresh,
+        )
+        inl = np.asarray(inl)
+        kill = rows[~inl]
+        self.valid[kill] = False
+
+    def _dedup_min_dist(self):
+        """Greedy min-dist keep, longest track first (setMask)."""
+        rows = np.where(self.valid)[0]
+        if len(rows) == 0:
+            return
+        order = rows[np.argsort(-self.track_cnt[rows])]
+        kept = []
+        r2 = self.cfg.min_dist**2
+        for r in order:
+            p = self.pts[r]
+            if all((p[0] - self.pts[k][0]) ** 2 + (p[1] - self.pts[k][1]) ** 2 > r2 for k in kept):
+                kept.append(r)
+            else:
+                self.valid[r] = False
+
+    def _detect_impl(self, imgf, pts, valid, k):
+        resp = shi_tomasi_response(imgf)
+        forbid = min_dist_mask(
+            self.H, self.W, pts.astype(jnp.float32), valid, self.cfg.min_dist
+        )
+        return nms_topk(resp, k, self.cfg.min_dist, border=self.cfg.border + 2,
+                        forbid_mask=forbid)
+
+    def _refill(self, imgf, n_new: int):
+        cand, vals, ok = self._detect(
+            imgf, jnp.asarray(self.pts), jnp.asarray(self.valid), self.M
+        )
+        cand = np.array(cand)
+        vals = np.array(vals)
+        ok = np.asarray(ok) & (vals > 1e-4 * max(float(vals[0]), 1e-9))
+        free = np.where(~self.valid)[0]
+        take = min(n_new, int(ok.sum()), len(free))
+        sel = np.where(ok)[0][:take]
+        rows = free[:take]
+        self.pts[rows] = cand[sel]
+        self.ids[rows] = np.arange(self.next_id, self.next_id + take)
+        self.next_id += take
+        self.track_cnt[rows] = 1
+        self.valid[rows] = True
