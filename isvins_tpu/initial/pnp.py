@@ -73,7 +73,7 @@ def pnp_ransac_gn(
     q_cw0,
     t_cw0,
     thresh: float = 10.0 / 460.0,
-    n_rounds: int = 16,
+    n_rounds: int = 32,
     min_set: int = 6,
     iters: int = 10,
     seed: int = 0,

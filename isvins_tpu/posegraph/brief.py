@@ -1,0 +1,87 @@
+"""BRIEF descriptors + batched Hamming matching.
+
+Replaces DVision::BRIEF (thirdparty/DVision/BRIEF.{h,cpp}, pattern from
+config/brief_pattern.yml) and DBoW2's per-descriptor scoring with TPU-batched
+kernels: descriptor extraction is one vmapped gather of 2x256 bilinear
+samples per keypoint, bit packing is a (256,)->(8,)uint32 dot with powers of
+two, and Hamming distance is XOR + `lax.population_count` broadcast over the
+full (n_query, n_db) matrix — the engine's descriptor-matching "MXU-shaped"
+workload (BASELINE.json: "DBoW binary vocabulary scoring -> TPU batched
+Hamming matching").
+
+The pattern itself is generated (seeded isotropic Gaussian pairs, the classic
+BRIEF-32 recipe) rather than loaded from the reference's yml: descriptors
+only ever match against our own, so the pattern is a free choice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frontend.image_ops import bilinear_sample, gaussian_blur
+
+
+def make_brief_pattern(n_bits: int = 256, patch: float = 24.0, seed: int = 7):
+    """(n_bits, 4) [ax, ay, bx, by] offsets, N(0, patch/5) clipped to patch/2."""
+    rng = np.random.default_rng(seed)
+    off = rng.normal(scale=patch / 5.0, size=(n_bits, 4))
+    return np.clip(off, -patch / 2, patch / 2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def brief_descriptors(img, pts, valid, pattern):
+    """img (H,W) float, pts (N,2) pixel coords, pattern (256,4).
+    Returns (N, 8) uint32 packed descriptors (keyframe.cpp:43–69 equivalent;
+    the image is pre-smoothed like classic BRIEF)."""
+    sm = gaussian_blur(img, 2.0, 4)
+    a = pattern[:, :2]
+    b = pattern[:, 2:]
+
+    def one(p):
+        va = bilinear_sample(sm, p[None, :] + a)  # (256,)
+        vb = bilinear_sample(sm, p[None, :] + b)
+        bits = (va < vb).astype(jnp.uint32)  # (256,)
+        words = bits.reshape(8, 32)
+        pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+        return jnp.sum(words * pow2, axis=1, dtype=jnp.uint32)
+
+    desc = jax.vmap(one)(pts)
+    return jnp.where(valid[:, None], desc, jnp.uint32(0))
+
+
+@jax.jit
+def hamming_matrix(desc_a, desc_b):
+    """(Na,8),(Nb,8) uint32 -> (Na,Nb) int32 Hamming distances."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def match_descriptors(desc_a, valid_a, desc_b, valid_b):
+    """Best match in b for each a. Returns (best_idx (Na,), best_dist (Na,));
+    invalid entries get dist 512 (keyframe.cpp searchInAera semantics)."""
+    d = hamming_matrix(desc_a, desc_b)
+    d = jnp.where(valid_b[None, :], d, 512)
+    best = jnp.argmin(d, axis=1)
+    dist = jnp.min(d, axis=1)
+    dist = jnp.where(valid_a, dist, 512)
+    return best.astype(jnp.int32), dist
+
+
+@jax.jit
+def global_descriptor(desc, valid):
+    """(D,8) uint32 packed -> (256,) float mean-bit signature for retrieval
+    (the DBoW replacement: cosine similarity on bit statistics)."""
+    bits = ((desc[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]) & 1).astype(
+        jnp.float32
+    )  # (D,8,32)
+    bits = bits.reshape(desc.shape[0], 256)
+    w = valid.astype(jnp.float32)
+    m = jnp.sum(bits * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    # center and normalize
+    c = m - 0.5
+    return c / jnp.maximum(jnp.linalg.norm(c), 1e-9)

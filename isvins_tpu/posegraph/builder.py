@@ -1,0 +1,310 @@
+"""Pose-graph builder orchestration.
+
+Replaces the PoseGraphBuilder thread + KeyFrame construction + PoseGraph
+bookkeeping (src/pose_graph/pose_graph_builder.cpp, keyframe.cpp,
+pose_graph.cpp): consumes the estimator's per-marginalization
+PoseGraphPacket + keyframe point exports + camera images, accumulates VIO
+edges with adjoint covariance transport until the 0.1 m keyframe gate
+(pose_graph_factors.h operator+, builder :157–216), extracts BRIEF
+descriptors, detects loops via global-descriptor retrieval + Hamming
+matching + PnP-RANSAC verification (detectLoop + findConnection), runs the
+dense pose-graph optimization when loops close, and applies drift to the
+incoming stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..estimator.marginalization import PoseGraphPacket
+from ..factors.priors import relpose_update_anchor
+from ..geom import (
+    mat_to_quat,
+    mat_to_ypr,
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_mat,
+    se3_adjoint,
+    se3_compose,
+)
+from ..initial.pnp import pnp_ransac_gn
+from .brief import brief_descriptors, make_brief_pattern, match_descriptors
+from .keyframe_db import KeyframeDB
+from .optimize import optimize_pose_graph
+from ..frontend.image_ops import nms_topk, shi_tomasi_response
+
+
+@dataclass
+class _Accum:
+    dt: np.ndarray
+    dq: np.ndarray
+    cov: np.ndarray
+    anchor_t: Optional[np.ndarray] = None
+    anchor_q: Optional[np.ndarray] = None
+    ts: float = 0.0
+    rp_q: Optional[np.ndarray] = None
+    rp_cov: Optional[np.ndarray] = None
+    has_rp: bool = False
+
+    @staticmethod
+    def identity():
+        return _Accum(np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros((6, 6)))
+
+
+class PoseGraphBuilder:
+    def __init__(self, cfg, camera=None):
+        pg = cfg.posegraph
+        self.cfg = cfg
+        self.pg = pg
+        self.db = KeyframeDB(pg.max_keyframes, pg.max_kp_per_kf, 256)
+        self.pattern = jnp.asarray(make_brief_pattern(pg.brief_bits))
+        self.camera = camera  # PinholeRadtan for norm->pixel projection
+        self.accum = _Accum.identity()
+        self.last_kf: Optional[int] = None
+        self.earliest_loop = -1
+        self.r_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self.pending_optimize = []
+        self.n_loops = 0
+
+    # ----------------------------------------------------------- accumulate
+    def push(self, packet: PoseGraphPacket, kf_points, image=None) -> Optional[int]:
+        """Feed one marginalization packet (+ the keyframe's exported points
+        and grayscale image). Returns the new keyframe index if the 0.1 m
+        gate fired, else None."""
+        a = self.accum
+        # T = T0 * T1; cov += Adj(T0) cov1 Adj(T0)^T  (pose_graph_factors.h:27–51)
+        Adj0 = np.asarray(se3_adjoint(jnp.asarray(a.dt), jnp.asarray(a.dq)))
+        cov1 = np.asarray(packet.cov_rel)
+        a.cov = a.cov + Adj0 @ cov1 @ Adj0.T
+        dt_new, dq_new = se3_compose(
+            jnp.asarray(a.dt), jnp.asarray(a.dq),
+            jnp.asarray(packet.rel_dt), jnp.asarray(packet.rel_dq),
+        )
+        a.dt = np.asarray(dt_new)
+        a.dq = np.asarray(dq_new)
+        a.rp_q = np.asarray(packet.rp_q)
+        a.rp_cov = np.asarray(packet.cov_abs)
+        a.has_rp = bool(packet.has_rollpitch)
+        if a.anchor_t is None:
+            a.anchor_t = np.asarray(packet.anchor_t)
+            a.anchor_q = np.asarray(packet.anchor_q)
+            a.ts = float(packet.ts)
+            a.kf_points = kf_points
+            a.image = image
+
+        if np.linalg.norm(a.dt) <= self.pg.keyframe_min_dist:
+            return None
+        return self._make_keyframe()
+
+    # ------------------------------------------------------------- keyframe
+    def _make_keyframe(self) -> int:
+        a = self.accum
+        db = self.db
+        i = db.n
+
+        # retro-update previous keyframe's edge to the actual new anchor
+        # (pose_graph_builder.cpp:192–199), then install it
+        if self.last_kf is not None:
+            j = self.last_kf
+            tj_pred, qj_pred = se3_compose(
+                jnp.asarray(db.vio_t[j]), jnp.asarray(db.vio_q[j]),
+                jnp.asarray(db.edge_dt[j]), jnp.asarray(db.edge_dq[j]),
+            )
+            dt_new, dq_new = relpose_update_anchor(
+                jnp.asarray(db.edge_dt[j]), jnp.asarray(db.edge_dq[j]),
+                jnp.asarray(db.vio_t[j]), jnp.asarray(db.vio_q[j]),
+                tj_pred, qj_pred,
+                jnp.asarray(a.anchor_t), jnp.asarray(a.anchor_q),
+            )
+            db.edge_dt[j] = np.asarray(dt_new)
+            db.edge_dq[j] = np.asarray(dq_new)
+
+        # descriptors
+        kf_pts = a.kf_points
+        P = db.P
+        win_desc = np.zeros((P, 8), np.uint32)
+        win_valid = np.zeros(P, bool)
+        win_pts3d = np.zeros((P, 3))
+        win_norm = np.zeros((P, 2))
+        kp_desc = np.zeros((db.D, 8), np.uint32)
+        kp_norm = np.zeros((db.D, 2))
+        kp_valid = np.zeros(db.D, bool)
+        if a.image is not None and kf_pts is not None and len(kf_pts.points_w) > 0:
+            img = jnp.asarray(a.image, jnp.float32)
+            n_w = min(len(kf_pts.points_w), P)
+            norm = kf_pts.pts_norm[:n_w]
+            if self.camera is not None:
+                pts3 = np.concatenate([norm, np.ones((n_w, 1))], axis=1)
+                px = np.asarray(self.camera.space_to_plane(jnp.asarray(pts3)))
+            else:
+                px = norm  # tests may pass pixel coords directly
+            wd = np.asarray(
+                brief_descriptors(img, jnp.asarray(px), jnp.ones(n_w, bool), self.pattern)
+            )
+            win_desc[:n_w] = wd
+            win_valid[:n_w] = True
+            win_pts3d[:n_w] = kf_pts.points_w[:n_w]
+            win_norm[:n_w] = norm
+
+            # extra detected keypoints over the full frame (keyframe.cpp:55–69)
+            resp = shi_tomasi_response(img)
+            n_det = db.D - n_w
+            cand, vals, okc = nms_topk(resp, db.D, 10, border=12)
+            cand = np.array(cand)[:n_det]
+            kd = np.asarray(
+                brief_descriptors(img, jnp.asarray(cand), jnp.ones(len(cand), bool), self.pattern)
+            )
+            # window descriptors are also matchable (reference adds both)
+            kp_desc[:n_w] = wd
+            kp_norm[:n_w] = norm
+            kp_valid[:n_w] = True
+            kp_desc[n_w : n_w + len(cand)] = kd
+            kp_valid[n_w : n_w + len(cand)] = True
+            if self.camera is not None:
+                un = np.asarray(self.camera.lift_projective(jnp.asarray(cand)))
+                kp_norm[n_w : n_w + len(cand)] = un[:, :2]
+            else:
+                kp_norm[n_w : n_w + len(cand)] = cand
+
+        idx = db.add(
+            ts=a.ts,
+            vio_t=a.anchor_t,
+            vio_q=a.anchor_q,
+            opt_t=self.r_drift @ a.anchor_t + self.t_drift,
+            opt_q=np.asarray(
+                quat_normalize(
+                    quat_mul(
+                        jnp.asarray(mat_to_quat(jnp.asarray(self.r_drift))),
+                        jnp.asarray(a.anchor_q),
+                    )
+                )
+            ),
+            rp_q=a.rp_q if a.has_rp else np.array([1.0, 0, 0, 0]),
+            rp_sqrt=(
+                np.linalg.cholesky(np.linalg.inv(a.rp_cov + 1e-12 * np.eye(2))).T
+                if a.has_rp
+                else np.zeros((2, 2))
+            ),
+            rp_valid=a.has_rp,
+            win_pts3d=win_pts3d,
+            win_desc=win_desc,
+            win_valid=win_valid,
+            kp_desc=kp_desc,
+            kp_norm=kp_norm,
+            kp_valid=kp_valid,
+        )
+        # install the edge on the previous keyframe
+        if self.last_kf is not None:
+            j = self.last_kf
+            self.db.edge_dt[j] = np.asarray(self.accum.dt)
+            self.db.edge_dq[j] = np.asarray(self.accum.dq)
+            info = np.linalg.inv(self.accum.cov + 1e-10 * np.eye(6))
+            info = 0.5 * (info + info.T)
+            w, V = np.linalg.eigh(info)
+            w = np.clip(w, 0.0, None)
+            self.db.edge_sqrt[j] = (V * np.sqrt(w)[None, :]) @ V.T
+            self.db.edge_valid[j] = True
+
+        self.last_kf = idx
+        self._win_pts3d_count = int(win_valid.sum())
+
+        # loop closure
+        if self.pg.enabled:
+            old = self.db.query(idx, self.pg.skip_recent, self.pg.top_k)
+            if old >= 0 and self._find_connection(idx, old):
+                self.n_loops += 1
+                if self.earliest_loop < 0 or self.db.loop_idx[idx] < self.earliest_loop:
+                    self.earliest_loop = int(self.db.loop_idx[idx])
+                r_d, t_d, _ = optimize_pose_graph(self.db, self.earliest_loop, idx)
+                self.r_drift = r_d
+                self.t_drift = t_d
+                # re-apply drift to the newest pose (already written by optimize)
+
+        self.accum = _Accum.identity()
+        return idx
+
+    # --------------------------------------------------------------- loops
+    def _find_connection(self, cur: int, old: int) -> bool:
+        """keyframe.cpp findConnection (:232–282): Hamming match cur window
+        descriptors vs old detected keypoints, PnP-RANSAC, gates."""
+        db = self.db
+        wv = db.win_valid[cur]
+        if wv.sum() < self.pg.min_loop_matches:
+            return False
+        best, dist = match_descriptors(
+            jnp.asarray(db.win_desc[cur]), jnp.asarray(wv),
+            jnp.asarray(db.kp_desc[old]), jnp.asarray(db.kp_valid[old]),
+        )
+        best = np.asarray(best)
+        dist = np.asarray(dist)
+        m = wv & (dist < self.pg.hamming_thresh)
+        if m.sum() <= self.pg.min_loop_matches:
+            return False
+
+        pts3d = db.win_pts3d[cur][m]
+        pts2d_old = db.kp_norm[old][best[m]]
+        # initial guess: cur keyframe's camera pose (PnPRANSAC, keyframe.cpp:168–175)
+        RIC = np.asarray(self.cfg.ric_np)
+        TIC = np.asarray(self.cfg.tic_np)
+        R_w_b = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
+        R_w_c = R_w_b @ RIC
+        T_w_c = db.vio_t[cur] + R_w_b @ TIC
+        q_cw0 = np.asarray(mat_to_quat(jnp.asarray(R_w_c.T)))
+        t_cw0 = -R_w_c.T @ T_w_c
+
+        ok, q_cw, t_cw, inl = pnp_ransac_gn(
+            pts3d, pts2d_old, q_cw0, t_cw0, thresh=self.pg.pnp_inlier_thresh
+        )
+        n_in = int(inl.sum())
+        if not ok or n_in <= 0.6 * self.pg.min_loop_matches:
+            return False
+
+        # old body pose in cur world
+        R_cw = np.asarray(quat_to_mat(jnp.asarray(q_cw)))
+        R_w_c_old = R_cw.T
+        T_w_c_old = -R_w_c_old @ np.asarray(t_cw)
+        R_old = R_w_c_old @ RIC.T
+        T_old = T_w_c_old - R_old @ TIC
+
+        # loop weight (keyframe.cpp:213–227): (m-6)/res^2 over inliers
+        pc = (R_cw @ (pts3d[inl] - T_w_c_old).T).T
+        pc = pc / pc[:, 2:3]
+        res = np.linalg.norm(pc[:, :2] - pts2d_old[inl], axis=1).sum()
+        if n_in <= 6:
+            return False
+        # floor at a quarter-pixel of reprojection noise per match so a
+        # near-exact synthetic fit cannot produce an unbounded weight
+        # (the reference divides by FOCAL_LENGTH once more at
+        # keyframe.cpp:221, ending in the same huge-weight regime that its
+        # Huber loss tames; we bound it explicitly)
+        res = max(res, n_in * 0.25 / 460.0)
+        loop_weight = min((n_in - 6) / (res * res), 1e6)
+
+        # relative pose cur-in-old + gates (keyframe.cpp:276–282)
+        rel_t = R_old.T @ (db.vio_t[cur] - T_old)
+        rel_R = R_old.T @ np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
+        yaw_cur = np.asarray(mat_to_ypr(jnp.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))))[0]
+        yaw_old = np.asarray(mat_to_ypr(jnp.asarray(R_old)))[0]
+        rel_yaw = (yaw_cur - yaw_old + 180.0) % 360.0 - 180.0
+        if abs(rel_yaw) >= self.pg.max_yaw_deg or np.linalg.norm(rel_t) >= self.pg.max_dist:
+            return False
+
+        db.loop_idx[cur] = old
+        db.loop_dt[cur] = rel_t
+        db.loop_dq[cur] = np.asarray(mat_to_quat(jnp.asarray(rel_R)))
+        db.loop_weight[cur] = loop_weight
+        return True
+
+    # --------------------------------------------------------------- output
+    def trajectory(self):
+        """(ts, t, q) arrays of optimized keyframe poses (loop_pose_output.txt
+        equivalent, pose_graph.cpp:412–423)."""
+        n = self.db.n
+        return self.db.ts[:n].copy(), self.db.opt_t[:n].copy(), self.db.opt_q[:n].copy()

@@ -1,0 +1,120 @@
+"""Fixed-capacity keyframe database.
+
+Replaces the reference's `list<KeyFrame*>` + DBoW2 inverted index
+(pose_graph.h:59, TemplatedDatabase): keyframe payloads live in preallocated
+numpy SoA arrays; retrieval queries the stacked global descriptors with one
+cosine-similarity matvec on device (detectLoop semantics: top-4, skip the
+last 50 frames, absolute + relative score thresholds; pose_graph.cpp:138–218).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .brief import global_descriptor
+
+
+class KeyframeDB:
+    def __init__(self, capacity: int, max_kp: int, max_win_pts: int):
+        K, D, P = capacity, max_kp, max_win_pts
+        self.K, self.D, self.P = K, D, P
+        self.n = 0
+
+        self.ts = np.zeros(K)
+        self.seq = np.zeros(K, dtype=np.int32)
+        # vio pose (drift-corrected stream pose) and optimized pose
+        self.vio_t = np.zeros((K, 3))
+        self.vio_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+        self.opt_t = np.zeros((K, 3))
+        self.opt_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+        self.cov = np.zeros((K, 6, 6))
+
+        # sequential edge to the NEXT keyframe (installed when next kf arrives)
+        self.edge_dt = np.zeros((K, 3))
+        self.edge_dq = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+        self.edge_sqrt = np.zeros((K, 6, 6))
+        self.edge_valid = np.zeros(K, dtype=bool)
+        # roll-pitch edge on this keyframe
+        self.rp_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+        self.rp_sqrt = np.zeros((K, 2, 2))
+        self.rp_valid = np.zeros(K, dtype=bool)
+        # loop edge: this kf -> older kf loop_idx
+        self.loop_idx = np.full(K, -1, dtype=np.int32)
+        self.loop_dt = np.zeros((K, 3))
+        self.loop_dq = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+        self.loop_weight = np.zeros(K)
+
+        # descriptors: detected keypoints (for being matched against) and
+        # window points (with 3D) for matching forward
+        self.kp_desc = np.zeros((K, D, 8), dtype=np.uint32)
+        self.kp_norm = np.zeros((K, D, 2))
+        self.kp_valid = np.zeros((K, D), dtype=bool)
+        self.win_pts3d = np.zeros((K, P, 3))
+        self.win_desc = np.zeros((K, P, 8), dtype=np.uint32)
+        self.win_valid = np.zeros((K, P), dtype=bool)
+
+        # retrieval descriptors: a fixed-size subsample of each keyframe's
+        # descriptors, matched by brute-force batched Hamming (the DBoW
+        # replacement — BASELINE.json "TPU batched Hamming matching")
+        self.R = 64
+        self.ret_desc = np.zeros((K, self.R, 8), dtype=np.uint32)
+        self.ret_valid = np.zeros((K, self.R), dtype=bool)
+
+    def add(self, **kw) -> int:
+        i = self.n
+        assert i < self.K, "keyframe capacity exhausted"
+        for k, v in kw.items():
+            getattr(self, k)[i] = v
+        rows = np.where(self.kp_valid[i])[0]
+        take = rows[:: max(1, len(rows) // self.R)][: self.R]
+        self.ret_desc[i, : len(take)] = self.kp_desc[i][take]
+        self.ret_valid[i, : len(take)] = True
+        self.n += 1
+        return i
+
+    def query(self, idx: int, skip_recent: int = 50, top_k: int = 4,
+              match_thresh: int = 64, abs_frac: float = 0.35, rel_frac: float = 0.25):
+        """detectLoop (pose_graph.cpp:138–218) with match-count scoring: for
+        each old keyframe, count query retrieval descriptors whose min
+        Hamming distance is below match_thresh; normalize by query size.
+        Needs the best score > abs_frac AND a second candidate > rel_frac
+        (the reference's two-candidate consistency gate); returns the
+        earliest candidate index or -1."""
+        hi = idx - skip_recent
+        if hi <= 0:
+            return -1
+        scores = np.asarray(
+            _retrieval_scores(
+                jnp.asarray(self.ret_desc[idx]), jnp.asarray(self.ret_valid[idx]),
+                jnp.asarray(self.ret_desc[:hi]), jnp.asarray(self.ret_valid[:hi]),
+                match_thresh,
+            )
+        )
+        k = min(top_k, hi)
+        order = np.argsort(-scores)[:k]
+        if scores[order[0]] < abs_frac:
+            return -1
+        good = [int(o) for o in order if scores[o] > rel_frac]
+        if len(good) < min(2, hi):
+            return -1
+        return min(good)
+
+
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("thresh",))
+def _retrieval_scores(qd, qv, dbd, dbv, thresh: int):
+    """qd (R,8) query descriptors; dbd (K,R,8) database. Returns (K,) scores =
+    fraction of query descriptors with a sub-threshold match in each kf."""
+    from .brief import hamming_matrix
+
+    K, R, _ = dbd.shape
+    flat = dbd.reshape(K * R, 8)
+    d = hamming_matrix(qd, flat).reshape(-1, K, R)  # (R, K, R)
+    d = jnp.where(dbv[None, :, :], d, 512)
+    best = jnp.min(d, axis=-1)  # (R, K)
+    hit = (best < thresh) & qv[:, None]
+    return jnp.sum(hit, axis=0) / jnp.maximum(jnp.sum(qv), 1)

@@ -1,0 +1,234 @@
+"""Dense on-device pose-graph Gauss-Newton with per-pose covariance.
+
+Replaces ceres SPARSE_NORMAL_CHOLESKY + ceres::Covariance
+(pose_graph.cpp:260–351): for the active segment [first_looped..cur] the full
+6K x 6K normal system is assembled from batched edge kernels (sequential
+relative-pose edges, per-keyframe roll-pitch edges, Huber-weighted loop
+edges) via one-hot einsum expansion, solved by dense Cholesky, and the
+per-pose 6x6 covariance blocks are read off the dense inverse — on a TPU the
+dense factorization of a few-thousand-dim system is MXU work and beats
+sparse scalar pivoting by orders of magnitude.
+
+Shapes are static per capacity bucket (power of two), masked to the active
+count; the first pose is gauge-fixed like the reference (:299–302).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..factors.priors import relpose_residual_jacobians, rollpitch_residual_jacobians
+from ..geom import quat_mul, quat_normalize, so3_exp_quat
+
+
+def _huber_weight(r_norm_sq, delta: float):
+    """sqrt of the IRLS weight for Huber loss rho(s) with s = ||r||^2."""
+    r = jnp.sqrt(jnp.maximum(r_norm_sq, 1e-18))
+    return jnp.sqrt(jnp.where(r <= delta, 1.0, delta / r))
+
+
+@functools.partial(jax.jit, static_argnames=("K", "L", "iters"))
+def _optimize_core(
+    t, q, active,  # (K,3), (K,4), (K,) bool
+    edge_dt, edge_dq, edge_sqrt, edge_valid,  # sequential k -> k+1
+    rp_q, rp_sqrt, rp_valid,
+    loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid,  # (L,)
+    fixed_mask,  # (K,) bool: gauge-fixed poses
+    K: int, L: int, iters: int, huber_delta: float = 0.1,
+):
+    D = 6 * K
+    dtype = t.dtype
+
+    def build(tq):
+        tt, qq = tq
+
+        # sequential edges k -> k+1
+        def seq_edge(k):
+            r, Ji, Jj = relpose_residual_jacobians(
+                edge_dt[k], edge_dq[k], tt[k], qq[k], tt[k + 1], qq[k + 1]
+            )
+            S = edge_sqrt[k]
+            m = (edge_valid[k] & active[k] & active[k + 1]).astype(dtype)
+            return (S @ r) * m, (S @ Ji) * m, (S @ Jj) * m
+
+        ks = jnp.arange(K - 1)
+        r_s, Ji_s, Jj_s = jax.vmap(seq_edge)(ks)
+
+        # roll-pitch edges
+        def rp_edge(k):
+            r, J = rollpitch_residual_jacobians(rp_q[k], qq[k])
+            S = rp_sqrt[k]
+            m = (rp_valid[k] & active[k]).astype(dtype)
+            return (S @ r) * m, (S @ J) * m
+
+        r_rp, J_rp = jax.vmap(rp_edge)(jnp.arange(K))
+
+        # loop edges i(old) -> j(cur), sqrt_info = sqrt(w) I, Huber(0.1)
+        def loop_edge(l):
+            i, j = loop_i[l], loop_j[l]
+            r, Ji, Jj = relpose_residual_jacobians(
+                loop_dt[l], loop_dq[l], tt[i], qq[i], tt[j], qq[j]
+            )
+            s = jnp.sqrt(jnp.maximum(loop_w[l], 0.0))
+            r_w = s * r
+            hw = _huber_weight(jnp.sum(r_w * r_w), huber_delta)
+            m = loop_valid[l].astype(dtype) * hw * s
+            return r * m, Ji * m, Jj * m
+
+        r_l, Ji_l, Jj_l = jax.vmap(loop_edge)(jnp.arange(L))
+
+        # assemble H, b with one-hot expansion
+        oh = lambda idx: jax.nn.one_hot(idx, K, dtype=dtype)
+
+        def expand(Jb, onehot):
+            out = jnp.einsum("nrk,nb->nrbk", Jb, onehot)
+            return out.reshape(Jb.shape[0], Jb.shape[1], D)
+
+        rows = []
+        rows.append((r_s.reshape(-1), (expand(Ji_s, oh(ks)) + expand(Jj_s, oh(ks + 1))).reshape(-1, D)))
+        rows.append((r_rp.reshape(-1), expand(J_rp, oh(jnp.arange(K))).reshape(-1, D)))
+        rows.append((r_l.reshape(-1), (expand(Ji_l, oh(loop_i)) + expand(Jj_l, oh(loop_j))).reshape(-1, D)))
+        J = jnp.concatenate([j for _, j in rows], axis=0)
+        r = jnp.concatenate([rr for rr, _ in rows], axis=0)
+
+        # gauge: zero columns of fixed poses
+        colmask = jnp.repeat(~fixed_mask & active, 6).astype(dtype)
+        J = J * colmask[None, :]
+        H = J.T @ J
+        b = -(J.T @ r)
+        # unit diagonal for fixed/inactive dims so chol works
+        H = H + jnp.diag(1.0 - colmask)
+        cost = 0.5 * jnp.sum(r * r)
+        return H, b, cost
+
+    def step(_, tq):
+        tt, qq = tq
+        H, b, _ = build((tt, qq))
+        Hd = H + 1e-8 * jnp.eye(D, dtype=dtype)
+        dx = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(Hd), True), b)
+        d = dx.reshape(K, 6)
+        tt2 = tt + d[:, :3]
+        qq2 = quat_normalize(quat_mul(qq, so3_exp_quat(d[:, 3:])))
+        return tt2, qq2
+
+    t2, q2 = jax.lax.fori_loop(0, iters, step, (t, q))
+    # covariance at the solution: 6x6 diagonal blocks of H^{-1}
+    H, _, cost = build((t2, q2))
+    Hd = H + 1e-8 * jnp.eye(D, dtype=dtype)
+    Hinv = jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(Hd), True), jnp.eye(D, dtype=dtype)
+    )
+    cov = Hinv.reshape(K, 6, K, 6)
+    cov_blocks = jax.vmap(lambda k: cov[k, :, k, :])(jnp.arange(K))
+    return t2, q2, cov_blocks, cost
+
+
+def _next_pow2(n):
+    k = 8
+    while k < n:
+        k *= 2
+    return k
+
+
+def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10):
+    """Optimize db poses [first_idx..cur_idx] in place (vio poses as initial
+    values, first pose fixed), write optimized poses + covariances back, and
+    return (r_drift (3,3), t_drift (3,), yaw_drift).
+
+    Mirrors optimizeCS (pose_graph.cpp:234–409) including the post-solve
+    retro-update of sequential edge measurements and drift computation."""
+    from ..factors.priors import relpose_update
+    from ..geom import mat_to_ypr, quat_to_mat
+
+    n = cur_idx - first_idx + 1
+    K = _next_pow2(n)
+    sl = slice(first_idx, cur_idx + 1)
+
+    t = np.zeros((K, 3))
+    q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+    t[:n] = db.vio_t[sl]
+    q[:n] = db.vio_q[sl]
+    active = np.zeros(K, bool)
+    active[:n] = True
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+
+    edge_dt = np.zeros((K, 3))
+    edge_dq = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+    edge_sqrt = np.zeros((K, 6, 6))
+    edge_valid = np.zeros(K, bool)
+    m = max(n - 1, 0)
+    edge_dt[:m] = db.edge_dt[first_idx : first_idx + m]
+    edge_dq[:m] = db.edge_dq[first_idx : first_idx + m]
+    edge_sqrt[:m] = db.edge_sqrt[first_idx : first_idx + m]
+    edge_valid[:m] = db.edge_valid[first_idx : first_idx + m]
+
+    rp_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
+    rp_sqrt = np.zeros((K, 2, 2))
+    rp_valid = np.zeros(K, bool)
+    rp_q[:n] = db.rp_q[sl]
+    rp_sqrt[:n] = db.rp_sqrt[sl]
+    rp_valid[:n] = db.rp_valid[sl]
+
+    # loop edges among active kfs
+    loops = [
+        k for k in range(first_idx, cur_idx + 1)
+        if db.loop_idx[k] >= first_idx and db.loop_idx[k] >= 0
+    ]
+    L = _next_pow2(max(len(loops), 1))
+    loop_i = np.zeros(L, np.int32)
+    loop_j = np.zeros(L, np.int32)
+    loop_dt = np.zeros((L, 3))
+    loop_dq = np.tile(np.array([1.0, 0, 0, 0]), (L, 1))
+    loop_w = np.zeros(L)
+    loop_valid = np.zeros(L, bool)
+    for li, k in enumerate(loops):
+        loop_i[li] = db.loop_idx[k] - first_idx
+        loop_j[li] = k - first_idx
+        loop_dt[li] = db.loop_dt[k]
+        loop_dq[li] = db.loop_dq[k]
+        loop_w[li] = db.loop_weight[k]
+        loop_valid[li] = True
+
+    t2, q2, cov, cost = _optimize_core(
+        jnp.asarray(t), jnp.asarray(q), jnp.asarray(active),
+        jnp.asarray(edge_dt), jnp.asarray(edge_dq), jnp.asarray(edge_sqrt),
+        jnp.asarray(edge_valid),
+        jnp.asarray(rp_q), jnp.asarray(rp_sqrt), jnp.asarray(rp_valid),
+        jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_dt),
+        jnp.asarray(loop_dq), jnp.asarray(loop_w), jnp.asarray(loop_valid),
+        jnp.asarray(fixed), K=K, L=L, iters=iters,
+    )
+    t2 = np.array(t2)[:n]
+    q2 = np.array(q2)[:n]
+    cov = np.array(cov)[:n]
+
+    # retro-update sequential edge measurements to the optimized poses
+    for k in range(n - 1):
+        gi = first_idx + k
+        if not db.edge_valid[gi]:
+            continue
+        dt_new, dq_new = relpose_update(
+            jnp.asarray(db.edge_dt[gi]), jnp.asarray(db.edge_dq[gi]),
+            jnp.asarray(db.opt_t[gi]), jnp.asarray(db.opt_q[gi]),
+            jnp.asarray(db.opt_t[gi + 1]), jnp.asarray(db.opt_q[gi + 1]),
+            jnp.asarray(t2[k]), jnp.asarray(q2[k]),
+            jnp.asarray(t2[k + 1]), jnp.asarray(q2[k + 1]),
+        )
+        db.edge_dt[gi] = np.asarray(dt_new)
+        db.edge_dq[gi] = np.asarray(dq_new)
+
+    db.opt_t[sl] = t2
+    db.opt_q[sl] = q2
+    db.cov[sl] = cov
+
+    # drift: optimized vs vio pose of cur (pose_graph.cpp:386–394)
+    R_cur = np.asarray(quat_to_mat(jnp.asarray(q2[-1])))
+    R_vio = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur_idx])))
+    r_drift = R_cur @ R_vio.T
+    t_drift = t2[-1] - r_drift @ db.vio_t[cur_idx]
+    return r_drift, t_drift, float(cost)
