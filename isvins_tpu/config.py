@@ -94,6 +94,7 @@ class SolverConfig:
     bias_gyr_threshold: float = 1.0
     estimate_td: bool = False
     td: float = 0.0
+    excitation_threshold: float = 0.25  # checkIMUExcitation (estimator.cpp:232)
 
 
 @dataclass(frozen=True)

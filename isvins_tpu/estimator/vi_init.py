@@ -43,7 +43,7 @@ def check_imu_excitation(est) -> bool:
         return False
     g_seg = dv[ok] / dt[ok][:, None]
     var = np.sqrt(((g_seg - g_seg.mean(0)) ** 2).sum(1).mean())
-    return var >= 0.25
+    return var >= est.cfg.solver.excitation_threshold
 
 
 def find_seed_pair(est):
@@ -51,12 +51,15 @@ def find_seed_pair(est):
     correspondences to the newest frame and mean parallax*460 > 30."""
     B = est.dims.B
     fm = est.f_manager
+    # epipolar threshold ~1 px of tracking noise in normalized units
+    # (the reference's 0.3/460 assumed its sub-pixel tracker at f=460)
+    thresh = 1.0 / float(est.cfg.camera.fx)
     for i in range(B - 2):
         a, b = fm.get_corresponding(i, B - 1)
         if len(a) > 20:
             par = np.linalg.norm(a[:, :2] - b[:, :2], axis=1).mean()
             if par * 460.0 > 30.0:
-                ok, R, T, inl = solve_relative_pose(a[:, :2], b[:, :2])
+                ok, R, T, inl = solve_relative_pose(a[:, :2], b[:, :2], thresh=thresh)
                 if ok:
                     return i, R, T
     return None, None, None

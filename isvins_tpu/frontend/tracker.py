@@ -112,7 +112,9 @@ class FeatureTracker:
             return
         un_prev = self.prev_un[rows, :2]
         un_cur = np.asarray(self.cam.lift_projective(jnp.asarray(self.pts[rows])))[:, :2]
-        thresh = self.cfg.f_threshold / 460.0
+        # pixel threshold -> normalized-plane units via the actual focal
+        # (the reference's /460 virtual focal assumed the EuRoC camera)
+        thresh = self.cfg.f_threshold / float(self.cam.fx)
         n = len(rows)
         rng = np.random.default_rng(0)
         samples = np.stack([rng.choice(n, size=8, replace=False) for _ in range(128)])

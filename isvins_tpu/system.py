@@ -1,0 +1,193 @@
+"""System orchestrator: the single-process host pipeline that replaces the
+reference's 7-thread queue topology (src/System.cpp; SURVEY.md §1).
+
+Dataflow (synchronous, deterministic — the thread/queue concurrency of the
+reference becomes a host driver streaming into jitted device super-steps):
+
+  pub_imu  ──► imu queue ─┐
+  pub_image ─► frequency control ─► FeatureTracker ─► feature queue
+                                    │ (image ring buffer for keyframes)
+  _process: align IMU ≤ t_img + td (mid-frame interpolation) ─► Estimator
+            │ MARGIN_OLD → PoseGraphPacket + keyframe points + image
+            └─► PoseGraphBuilder (loop closure, drift)
+
+Outputs: VIO trajectory (pose_output.txt semantics, System.cpp:409–410) and
+the optimized keyframe trajectory (loop_pose_output.txt).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import EngineConfig
+from .estimator.estimator import Estimator, MARGIN_OLD, NON_LINEAR
+from .frontend import FeatureTracker, PinholeRadtan
+from .posegraph import PoseGraphBuilder
+from .solver import WindowDims
+
+
+class System:
+    def __init__(self, cfg: EngineConfig, dims: Optional[WindowDims] = None,
+                 enable_loop: bool = True):
+        self.cfg = cfg
+        self.tracker = FeatureTracker(cfg.camera, cfg.tracker)
+        self.estimator = Estimator(cfg, dims)
+        self.pgbuilder = (
+            PoseGraphBuilder(cfg, camera=PinholeRadtan.from_config(cfg.camera))
+            if (enable_loop and cfg.posegraph.enabled)
+            else None
+        )
+
+        self.imu_buf: deque = deque()
+        self.feature_buf: deque = deque()
+        self.image_ring: deque = deque(maxlen=256)  # (t, uint8 image)
+
+        self.first_image_time = None
+        self.last_image_time = None
+        self.pub_count = 0
+        self.init_feature = True  # skip the first packet (no velocities yet)
+        self.current_time = -1.0
+
+        self.vio_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._pg_cursor = 0
+
+    # ------------------------------------------------------------------- inputs
+    def pub_imu(self, t: float, acc, gyr):
+        self.imu_buf.append((t, np.asarray(acc), np.asarray(gyr)))
+        self._process()
+
+    def pub_image(self, t: float, img: np.ndarray):
+        """Frequency control + tracking (System.cpp:54–142)."""
+        if self.first_image_time is None:
+            self.first_image_time = t
+            self.last_image_time = t
+        # stream discontinuity (System.cpp:72–79)
+        if t - self.last_image_time > 1.0 or t < self.last_image_time:
+            self.first_image_time = t
+            self.pub_count = 0
+            self.init_feature = True
+        self.last_image_time = t
+
+        # frequency control (System.cpp:82–95)
+        freq = self.cfg.tracker.freq
+        pub_this = False
+        if freq <= 0 or round(self.pub_count / max(t - self.first_image_time, 1e-9)) <= freq:
+            pub_this = True
+            if self.pub_count / max(t - self.first_image_time, 1e-9) - freq < 0.01 * freq:
+                self.first_image_time = t
+                self.pub_count = 0
+
+        out = self.tracker.read_image(img, t)
+        self.image_ring.append((t, np.asarray(img, dtype=np.uint8)))
+
+        if pub_this:
+            self.pub_count += 1
+            if self.init_feature:
+                # first packet has no velocities; the reference skips it
+                self.init_feature = False
+                return
+            sel = out["track_cnt"] > 1
+            if sel.sum() == 0:
+                return
+            self.feature_buf.append(
+                {
+                    "t": t,
+                    "ids": out["ids"][sel],
+                    "pts": out["pts_norm"][sel],
+                    "vel": out["vel"][sel],
+                }
+            )
+            self._process()
+
+    # -------------------------------------------------------------- processing
+    def _measurements_ready(self) -> bool:
+        if not self.feature_buf or not self.imu_buf:
+            return False
+        td = self.cfg.solver.td
+        return self.imu_buf[-1][0] > self.feature_buf[0]["t"] + td
+
+    def _process(self):
+        """getMeasurements + ProcessBackEnd (System.cpp:160–202, 224–415)."""
+        while self._measurements_ready():
+            feat = self.feature_buf.popleft()
+            t_img = feat["t"] + self.cfg.solver.td
+            est = self.estimator
+
+            # feed IMU up to t_img with boundary interpolation (:279–296)
+            if self.current_time < 0:
+                self.current_time = t_img
+            while self.imu_buf and self.imu_buf[0][0] < t_img:
+                t, acc, gyr = self.imu_buf.popleft()
+                dt = t - self.current_time
+                if dt > 0:
+                    est.process_imu(dt, acc, gyr)
+                self.current_time = t
+                self._last_imu = (acc, gyr)
+            if self.imu_buf:
+                t2, acc2, gyr2 = self.imu_buf[0]
+                dt1 = t_img - self.current_time
+                dt2 = t2 - t_img
+                if dt1 > 0 and dt2 >= 0 and hasattr(self, "_last_imu"):
+                    w1 = dt2 / max(dt1 + dt2, 1e-9)
+                    w2 = dt1 / max(dt1 + dt2, 1e-9)
+                    acc1, gyr1 = self._last_imu
+                    acc_i = w1 * acc1 + w2 * acc2
+                    gyr_i = w1 * gyr1 + w2 * gyr2
+                    est.process_imu(dt1, acc_i, gyr_i)
+                    self.current_time = t_img
+
+            info = est.process_image(feat["ids"], feat["pts"], feat["t"], vels=feat["vel"])
+
+            if est.solver_flag == NON_LINEAR:
+                t_out, P, Q = est.latest_pose()
+                self.vio_trajectory.append((feat["t"], P, Q))
+                self._feed_pose_graph()
+
+    def _feed_pose_graph(self):
+        if self.pgbuilder is None:
+            return
+        est = self.estimator
+        while self._pg_cursor < len(est.pose_graph_packets):
+            pkt = est.pose_graph_packets[self._pg_cursor]
+            kfp = (
+                est.keyframe_points[self._pg_cursor]
+                if self._pg_cursor < len(est.keyframe_points)
+                else None
+            )
+            img = self._lookup_image(float(pkt.ts))
+            self.pgbuilder.push(pkt, kfp, image=img)
+            self._pg_cursor += 1
+
+    def _lookup_image(self, t: float):
+        best = None
+        for (ti, img) in self.image_ring:
+            if best is None or abs(ti - t) < abs(best[0] - t):
+                best = (ti, img)
+        if best is not None and abs(best[0] - t) < 0.05:
+            return best[1].astype(np.float32)
+        return None
+
+    # ---------------------------------------------------------------- outputs
+    def vio_tum(self) -> str:
+        """TUM format: t x y z qx qy qz qw (System.cpp:409–410)."""
+        lines = []
+        for (t, P, Q) in self.vio_trajectory:
+            lines.append(
+                f"{t:.9f} {P[0]} {P[1]} {P[2]} {Q[1]} {Q[2]} {Q[3]} {Q[0]}"
+            )
+        return "\n".join(lines)
+
+    def loop_tum(self) -> str:
+        if self.pgbuilder is None:
+            return ""
+        ts, t_opt, q_opt = self.pgbuilder.trajectory()
+        lines = []
+        for i in range(len(ts)):
+            P, Q = t_opt[i], q_opt[i]
+            lines.append(
+                f"{ts[i]:.9f} {P[0]} {P[1]} {P[2]} {Q[1]} {Q[2]} {Q[3]} {Q[0]}"
+            )
+        return "\n".join(lines)

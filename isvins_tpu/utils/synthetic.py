@@ -147,6 +147,71 @@ def make_world(
     )
 
 
+class StampRenderer:
+    """Renders frames of a SynthWorld as images: each landmark gets a
+    distinctive seeded random stamp (so binary descriptors can identify it),
+    over a faint static background texture. Used by the full-pipeline tests
+    and image benches."""
+
+    def __init__(self, world: SynthWorld, cam_cfg, tic, qic, stamp: int = 25,
+                 seed: int = 99):
+        self.world = world
+        self.cam = cam_cfg
+        self.tic = np.asarray(tic)
+        self.qic = np.asarray(qic)
+        self.K = np.array(
+            [[cam_cfg.fx, 0, cam_cfg.cx], [0, cam_cfg.fy, cam_cfg.cy], [0, 0, 1]]
+        )
+        H, W = cam_cfg.height, cam_cfg.width
+        # flat background: a static image-space texture would violate the
+        # epipolar geometry the tracker's RANSAC enforces (it does not move
+        # with the camera); per-frame sensor noise is added in render()
+        self.base = np.full((H, W), 100.0)
+        self.noise_sigma = 1.5
+        from scipy.ndimage import gaussian_filter
+
+        self.half = stamp // 2
+        self.stamps = []
+        for m in range(len(world.landmarks)):
+            s_rng = np.random.default_rng(7000 + m)
+            # multi-scale structure: LK's convergence basin equals the feature
+            # correlation length, so the stamp needs content at blob scale
+            # (sigma ~ stamp/3, survives two pyramid levels), mid scale, and
+            # fine detail (for BRIEF identity)
+            yy, xx = np.mgrid[0:stamp, 0:stamp].astype(np.float64)
+            c = (stamp - 1) / 2.0
+            blob = np.exp(-((xx - c) ** 2 + (yy - c) ** 2) / (2 * (stamp / 3.5) ** 2))
+            mid = gaussian_filter(s_rng.uniform(0, 1, size=(stamp, stamp)), 3.0)
+            fine = gaussian_filter(s_rng.uniform(0, 1, size=(stamp, stamp)), 0.8)
+            s = (
+                6.0 * s_rng.choice([-1.0, 1.0]) * blob
+                + 3.0 * (mid - mid.mean())
+                + 1.0 * (fine - fine.mean())
+            )
+            self.stamps.append(s / np.abs(s).max() * 120.0)
+
+    def render(self, frame: int):
+        H, W = self.cam.height, self.cam.width
+        pts, depth, vis = project(self.world, frame, self.tic, self.qic)
+        px = (self.K @ pts.T).T[:, :2]
+        h = self.half + 2
+        inb = (
+            vis
+            & (px[:, 0] > h)
+            & (px[:, 0] < W - h)
+            & (px[:, 1] > h)
+            & (px[:, 1] < H - h)
+        )
+        img = self.base.copy()
+        rng = np.random.default_rng(123456 + frame)
+        img += rng.normal(scale=self.noise_sigma, size=img.shape)
+        hh = self.half
+        for m in np.where(inb)[0]:
+            cx, cy = int(round(px[m, 0])), int(round(px[m, 1]))
+            img[cy - hh : cy + hh + 1, cx - hh : cx + hh + 1] += self.stamps[m]
+        return np.clip(img, 0, 255), px, inb
+
+
 def project(world: SynthWorld, frame: int, tic, qic, px_noise: float = 0.0, rng=None):
     """Project all landmarks into camera of `frame`. Returns (pts (M,3)
     normalized [x,y,1], depth (M,), visible (M,))."""

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""EuRoC replay driver (replaces test/run_euroc.cpp, without the real-time
+throttle sleeps).
+
+Usage: python run_euroc.py PATH_TO_SEQUENCE/mav0 [--out-dir OUT] [--no-loop]
+
+Writes pose_output.txt (VIO, TUM format) and loop_pose_output.txt (optimized
+keyframe trajectory), and prints ATE RMSE vs ground truth when the sequence
+ships state_groundtruth_estimate0.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mav0", help="path to the sequence's mav0 directory")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    from isvins_tpu.config import euroc_config
+    from isvins_tpu.data import EurocDataset
+    from isvins_tpu.system import System
+    from isvins_tpu.utils.evaluation import ate_rmse
+
+    cfg = euroc_config()
+    sys_ = System(cfg, enable_loop=not args.no_loop)
+    ds = EurocDataset(args.mav0)
+
+    t0 = time.time()
+    n_img = 0
+    for kind, m in ds.stream():
+        if kind == "imu":
+            sys_.pub_imu(m.t, m.acc, m.gyr)
+        else:
+            sys_.pub_image(m.t, m.load())
+            n_img += 1
+            if args.max_frames and n_img >= args.max_frames:
+                break
+            if n_img % 100 == 0:
+                el = time.time() - t0
+                print(f"[{n_img} frames, {el:.1f}s, {n_img/el:.1f} fps]", flush=True)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "pose_output.txt"), "w") as f:
+        f.write(sys_.vio_tum())
+    with open(os.path.join(args.out_dir, "loop_pose_output.txt"), "w") as f:
+        f.write(sys_.loop_tum())
+
+    if ds.ground_truth is not None and sys_.vio_trajectory:
+        traj = np.array([[t, *P] for (t, P, Q) in sys_.vio_trajectory])
+        rmse = ate_rmse(traj[:, 0], traj[:, 1:4], ds.ground_truth["t"], ds.ground_truth["p"])
+        print(f"ATE RMSE (SE3-aligned): {rmse:.4f} m over {len(traj)} poses")
+
+
+if __name__ == "__main__":
+    main()

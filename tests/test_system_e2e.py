@@ -1,0 +1,71 @@
+"""Full pipeline from pixels: rendered synthetic sequence (images + IMU)
+through System (tracker -> estimator -> pose graph) and ATE check — the
+image-level analogue of the reference's run_euroc smoke test, with actual
+accuracy assertions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import isvins_tpu  # noqa: F401
+from isvins_tpu.config import (
+    CameraConfig,
+    NoiseConfig,
+    PoseGraphConfig,
+    TrackerConfig,
+    WindowConfig,
+    euroc_config,
+)
+from isvins_tpu.geom import mat_to_quat
+from isvins_tpu.solver import WindowDims
+from isvins_tpu.system import System
+from isvins_tpu.utils.evaluation import ate_rmse
+from isvins_tpu.utils.synthetic import StampRenderer, make_world
+
+
+@pytest.mark.slow
+def test_system_pixels_to_trajectory():
+    H, W = 240, 320
+    f = 200.0
+    cam = CameraConfig(width=W, height=H, fx=f, fy=f, cx=W / 2, cy=H / 2,
+                       k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    R_bc = ((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0))
+    cfg = euroc_config().replace(
+        camera=cam,
+        tracker=TrackerConfig(max_cnt=70, min_dist=16, freq=100, lk_levels=3,
+                              lk_win=21, equalize=False, border=4),
+        window=WindowConfig(vo_size=4, all_size=10, max_features=256,
+                            max_imu_per_frame=64),
+        noise=NoiseConfig(acc_n=0.05, gyr_n=0.005, acc_w=1e-4, gyr_w=1e-5,
+                          pixel_sqrt_info=f),
+        solver=euroc_config().solver.__class__(excitation_threshold=0.08),
+        posegraph=PoseGraphConfig(enabled=False),
+        tic=(0.0, 0.0, 0.0),
+        ric=R_bc,
+    )
+    dims = WindowDims(B=10, Vo=4, F=256, N=2048)
+
+    world = make_world(n_frames=40, frame_hz=10.0, imu_hz=200.0,
+                       n_landmarks=900, seed=1)
+    qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
+    renderer = StampRenderer(world, cam, np.zeros(3), qic)
+
+    sys_ = System(cfg, dims, enable_loop=False)
+    for k in range(40):
+        if k > 0:
+            n = int(np.sum(world.imu_dts[k - 1] > 0))
+            base_t = world.frame_times[k - 1]
+            acc_t = base_t
+            for s in range(n):
+                acc_t += world.imu_dts[k - 1][s]
+                sys_.pub_imu(acc_t, world.imu_accs[k - 1][s], world.imu_gyrs[k - 1][s])
+        img, _, _ = renderer.render(k)
+        sys_.pub_image(world.frame_times[k], img)
+
+    traj = sys_.vio_trajectory
+    assert len(traj) >= 15, f"only {len(traj)} poses estimated"
+    t_est = np.array([t for (t, P, Q) in traj])
+    p_est = np.array([P for (t, P, Q) in traj])
+    # GT association by frame time
+    rmse = ate_rmse(t_est, p_est, world.frame_times, world.P, align="sim3")
+    assert rmse < 0.6, rmse  # flat-stamp renderer biases tracking ~1px
