@@ -274,7 +274,7 @@ class Estimator:
             jnp.asarray(self.Bgs[:-1]),
         )
         valid = (self.imu_cnt[1:] > 0) & (np.asarray(pre.sum_dt) < 10.0)
-        return ImuFactors(pre=pre, valid=jnp.asarray(valid))
+        return ImuFactors.create(pre=pre, valid=jnp.asarray(valid))
 
     def _solve_once(self, priors: PriorState, iters: int):
         """One triangulate + window solve + gauge re-anchor pass. Returns the

@@ -108,7 +108,7 @@ def make_batch_problem(n_seq: int, dims: WindowDims, dtype=jnp.float32, seed: in
         qic=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (n_seq, 1)),
         dep=dep,
     )
-    imu = ImuFactors(pre=pre, valid=jnp.ones((n_seq, B - 1), bool))
+    imu = jax.vmap(ImuFactors.create)(pre, jnp.ones((n_seq, B - 1), bool))
     proj = ProjFactors(
         idx_i=idx_i, idx_j=idx_j, fidx=fidx, pts_i=pts_i, pts_j=pts_j,
         valid=jnp.ones((n_seq, N), bool),

@@ -83,6 +83,14 @@ class ProjFactors(NamedTuple):
 class ImuFactors(NamedTuple):
     pre: Preintegration  # stacked (B-1, ...), factor k connects frames k,k+1
     valid: jnp.ndarray  # (B-1,) bool
+    sqrt: jnp.ndarray  # (B-1,15,15) precomputed whitening (cov is fixed per solve)
+
+    @staticmethod
+    def create(pre: Preintegration, valid) -> "ImuFactors":
+        eye15 = jnp.eye(15, dtype=pre.cov.dtype)
+        cov = jnp.where(valid[:, None, None], pre.cov, eye15)
+        S = sqrt_info_from_cov(cov, rel_jitter=1e-12)
+        return ImuFactors(pre=pre, valid=valid, sqrt=S)
 
 
 class RollPitchFactors(NamedTuple):
@@ -177,11 +185,7 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
     dtype = state.P.dtype
     i_idx = jnp.arange(B - 1)
     j_idx = i_idx + 1
-
-    # sanitize covariances of invalid slots before chol
-    eye15 = jnp.eye(15, dtype=dtype)
-    cov = jnp.where(imu.valid[:, None, None], imu.pre.cov, eye15)
-    S = sqrt_info_from_cov(cov, rel_jitter=1e-12)  # (B-1,15,15)
+    S = imu.sqrt  # precomputed: cov is constant across LM iterations
 
     def one(k):
         pre_k = jax.tree_util.tree_map(lambda a: a[k], imu.pre)
@@ -210,25 +214,40 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
     return r_w, Jrows, cost
 
 
-def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims):
+def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims,
+               estimate_extrinsic: bool = False):
     """Whitened+robust projection residuals (N,2), dense pose rows (N,2,D),
     landmark partials (N,2), cost."""
     B, D = dims.B, dims.D
     dtype = state.P.dtype
 
-    def one(pi, pj, ii, ij, f, v):
-        # sanitize BEFORE evaluation: masked rows must not produce NaN
-        # (NaN * 0 = NaN would leak through the validity mask)
-        d = state.dep[f]
-        d = jnp.where(v & (jnp.abs(d) > 1e-8), d, 1.0)
-        return projection_residual_jacobians(
-            pi, pj, state.P[ii], state.Q[ii], state.P[ij], state.Q[ij],
-            state.tic, state.qic, d,
-        )
+    if not estimate_extrinsic:
+        # component-planes fast path (solver/proj_fast.py): elementwise over
+        # N lanes, rotations composed as quaternion products
+        from .proj_fast import eval_proj_rows
 
-    r, J_pi, J_pj, J_ex, J_dep = jax.vmap(one)(
-        proj.pts_i, proj.pts_j, proj.idx_i, proj.idx_j, proj.fidx, proj.valid
-    )
+        r, J_pi, J_pj, J_dep = eval_proj_rows(
+            proj.pts_i, proj.pts_j,
+            state.P[proj.idx_i], state.Q[proj.idx_i],
+            state.P[proj.idx_j], state.Q[proj.idx_j],
+            state.tic, state.qic, state.dep[proj.fidx], proj.valid,
+        )
+        J_ex = jnp.zeros((proj.pts_i.shape[0], 2, 6), dtype)
+    else:
+
+        def one(pi, pj, ii, ij, f, v):
+            # sanitize BEFORE evaluation: masked rows must not produce NaN
+            # (NaN * 0 = NaN would leak through the validity mask)
+            d = state.dep[f]
+            d = jnp.where(v & (jnp.abs(d) > 1e-8), d, 1.0)
+            return projection_residual_jacobians(
+                pi, pj, state.P[ii], state.Q[ii], state.P[ij], state.Q[ij],
+                state.tic, state.qic, d,
+            )
+
+        r, J_pi, J_pj, J_ex, J_dep = jax.vmap(one)(
+            proj.pts_i, proj.pts_j, proj.idx_i, proj.idx_j, proj.fidx, proj.valid
+        )
     s = pixel_sqrt_info
     vw = proj.valid.astype(dtype)
     r_sq = jnp.sum((s * r) ** 2, axis=-1)
@@ -342,7 +361,9 @@ def build_normal_equations(
     dtype = state.P.dtype
 
     r_imu, J_imu, c_imu = _eval_imu(state, imu, G, dims)
-    r_proj, J_proj, J_dep, c_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
+    r_proj, J_proj, J_dep, c_proj = _eval_proj(
+        state, proj, pixel_sqrt_info, dims, estimate_extrinsic
+    )
     prior_rows, c_prior = _eval_priors(state, priors, dims)
 
     # stack all pose-system rows
@@ -401,34 +422,42 @@ def solve_window(
     D = dims.D
     dtype = state.P.dtype
 
-    def body(_, carry):
-        st, lam, _ = carry
-        H, b, h, W, b_l, cost0 = build_normal_equations(
+    # One factor evaluation per LM iteration: the normal equations built at
+    # the accepted state are carried in the loop; a trial's evaluation is
+    # reused as the next linearization when accepted (vs the naive
+    # build+cost-check structure which evaluates every factor twice).
+    def build(st):
+        return build_normal_equations(
             st, imu, proj, priors, G, pixel_sqrt_info, dims, estimate_extrinsic
         )
-        # damped landmark diag; empty features get h=0 -> guard
+
+    def body(_, carry):
+        st, ne, lam = carry
+        H, b, h, W, b_l, cost0 = ne
         h_d = h * (1.0 + lam)
         h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
-        # Schur complement onto the pose system
         Winv_h = W / h_safe[:, None]
         H_s = H - W.T @ Winv_h
         b_s = b - W.T @ (b_l / h_safe)
-        # damping on the pose system
         diagH = jnp.clip(jnp.diag(H), 1e-8, None)
         H_d = H_s + jnp.diag(lam * diagH)
         L = jnp.linalg.cholesky(H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype))
         dx = jax.scipy.linalg.cho_solve((L, True), b_s)
         dl = (b_l - W @ dx) / h_safe
         trial = retract_state(st, dx, dl, dims)
-        cost1 = window_cost(trial, imu, proj, priors, G, pixel_sqrt_info, dims)
+        ne_trial = build(trial)
+        cost1 = ne_trial[-1]
         ok = (cost1 < cost0) & jnp.isfinite(cost1)
         new_state = jax.tree_util.tree_map(
             lambda a, bb: jnp.where(ok, bb, a), st, trial
         )
+        new_ne = jax.tree_util.tree_map(
+            lambda a, bb: jnp.where(ok, bb, a), ne, ne_trial
+        )
         new_lam = jnp.where(ok, jnp.maximum(lam * 0.4, 1e-9), jnp.minimum(lam * 8.0, 1e6))
-        return new_state, new_lam, jnp.where(ok, cost1, cost0)
+        return new_state, new_ne, new_lam
 
     lam0 = jnp.asarray(init_lambda, dtype)
-    init_cost = window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims)
-    state, lam, cost = jax.lax.fori_loop(0, iters, body, (state, lam0, init_cost))
-    return state, cost
+    ne0 = build(state)
+    state, ne, lam = jax.lax.fori_loop(0, iters, body, (state, ne0, lam0))
+    return state, ne[-1]

@@ -87,7 +87,7 @@ def build_problem(B=10, F=128, N=1024, n_landmarks=120, seed=0, px_noise=0.0):
         jnp.asarray(world.imu_acc0),
         jnp.asarray(world.imu_gyr0),
     )
-    imu_f = ImuFactors(pre=pre, valid=jnp.ones(B - 1, bool))
+    imu_f = ImuFactors.create(pre=pre, valid=jnp.ones(B - 1, bool))
 
     gt = WindowState(
         P=jnp.asarray(world.P), Q=jnp.asarray(world.Q), V=jnp.asarray(world.V),
@@ -162,3 +162,33 @@ def test_solver_with_pixel_noise_reduces_cost():
     # with noise, should still land close to GT
     e1 = np.abs(np.asarray(x1.P) - np.asarray(gt.P)).max()
     assert e1 < 0.05, e1
+
+
+def test_fast_proj_matches_reference(rng):
+    """Component-planes fast path vs the reference-faithful vmapped path."""
+    from isvins_tpu.solver.proj_fast import eval_proj_rows
+    from isvins_tpu.factors.projection import projection_residual_jacobians
+
+    cfg, world, gt, imu_f, proj_f, dims, _ = build_problem(seed=11)
+    n = int(np.asarray(proj_f.valid).sum())
+    Pi = gt.P[proj_f.idx_i]
+    Qi = gt.Q[proj_f.idx_i]
+    Pj = gt.P[proj_f.idx_j]
+    Qj = gt.Q[proj_f.idx_j]
+    dep = gt.dep[proj_f.fidx]
+    r, J_pi, J_pj, J_dep = eval_proj_rows(
+        proj_f.pts_i, proj_f.pts_j, Pi, Qi, Pj, Qj, gt.tic, gt.qic, dep, proj_f.valid
+    )
+
+    def one(k):
+        return projection_residual_jacobians(
+            proj_f.pts_i[k], proj_f.pts_j[k], Pi[k], Qi[k], Pj[k], Qj[k],
+            gt.tic, gt.qic, dep[k],
+        )
+
+    for k in [0, 1, n // 2, n - 1]:
+        r_ref, Jpi_ref, Jpj_ref, _, Jd_ref = one(k)
+        np.testing.assert_allclose(np.asarray(r[k]), np.asarray(r_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(J_pi[k]), np.asarray(Jpi_ref), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(J_pj[k]), np.asarray(Jpj_ref), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(J_dep[k]), np.asarray(Jd_ref), atol=1e-9)
