@@ -50,6 +50,16 @@ class EurocDataset:
 
     @staticmethod
     def _parse_imu(path):
+        from .. import native
+
+        if native.available():
+            parsed = native.parse_csv_ns(path, 6)
+            if parsed is not None:
+                ts, data = parsed
+                return [
+                    ImuSample(t=ts[i], gyr=data[i, :3].copy(), acc=data[i, 3:6].copy())
+                    for i in range(len(ts))
+                ]
         rows = np.genfromtxt(path, delimiter=",", skip_header=1)
         out = []
         for r in rows:
