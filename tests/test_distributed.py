@@ -1,0 +1,87 @@
+"""Distributed (shard_map + psum) pose-graph solve on the 8-device virtual
+CPU mesh vs the single-device optimizer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import isvins_tpu  # noqa: F401
+from isvins_tpu.parallel import make_mesh
+from isvins_tpu.parallel.distributed import distributed_pose_graph_solve
+from isvins_tpu.geom import quat_conj, quat_mul, quat_normalize, quat_rotate, mat_to_quat
+
+from test_posegraph import _circle_kfs
+
+
+def test_distributed_pose_graph_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    n = 40
+    t_gt, q_gt = _circle_kfs(n)
+    rng = np.random.default_rng(3)
+
+    # drifted initial values
+    t_vio = t_gt + np.cumsum(rng.normal(size=(n, 3)) * 0.01, axis=0)
+    q_vio = q_gt.copy()
+
+    K = 64  # padded pose capacity
+    t0 = np.zeros((K, 3)); t0[:n] = t_vio
+    q0 = np.tile([1.0, 0, 0, 0], (K, 1)); q0[:n] = q_vio
+    active = np.zeros(K, bool); active[:n] = True
+    fixed = np.zeros(K, bool); fixed[0] = True
+
+    # edges: sequential GT relatives + one loop, padded to a multiple of 8
+    E = 64
+    e_i = np.zeros(E, np.int32); e_j = np.ones(E, np.int32)
+    e_dt = np.zeros((E, 3)); e_dq = np.tile([1.0, 0, 0, 0], (E, 1))
+    e_sqrt = np.zeros((E, 6, 6)); e_valid = np.zeros(E, bool)
+    for k in range(n - 1):
+        qi = jnp.asarray(q_gt[k])
+        e_i[k], e_j[k] = k, k + 1
+        e_dt[k] = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k + 1] - t_gt[k])))
+        e_dq[k] = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k + 1]))))
+        e_sqrt[k] = np.eye(6) * 30.0
+        e_valid[k] = True
+    # loop edge last -> 0
+    k = n - 1
+    qi = jnp.asarray(q_gt[0])
+    e_i[n - 1], e_j[n - 1] = 0, k
+    e_dt[n - 1] = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k] - t_gt[0])))
+    e_dq[n - 1] = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k]))))
+    e_sqrt[n - 1] = np.eye(6) * 20.0
+    e_valid[n - 1] = True
+
+    Krp = 8
+    rp_i = np.zeros(Krp, np.int32)
+    rp_q = np.tile([1.0, 0, 0, 0], (Krp, 1))
+    rp_sqrt = np.zeros((Krp, 2, 2))
+    rp_valid = np.zeros(Krp, bool)
+
+    mesh = make_mesh(8)
+    t2, q2, cost = distributed_pose_graph_solve(
+        mesh,
+        jnp.asarray(t0), jnp.asarray(q0), jnp.asarray(active), jnp.asarray(fixed),
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_dt), jnp.asarray(e_dq),
+        jnp.asarray(e_sqrt), jnp.asarray(e_valid),
+        jnp.asarray(rp_i), jnp.asarray(rp_q), jnp.asarray(rp_sqrt), jnp.asarray(rp_valid),
+        iters=10,
+    )
+    t2 = np.asarray(t2)[:n]
+    # the optimum is GT translated to the (drift-affected) fixed anchor
+    t_opt = t_gt + (t_vio[0] - t_gt[0])
+    err_before = np.linalg.norm(t_vio - t_opt, axis=1).max()
+    err_after = np.linalg.norm(t2 - t_opt, axis=1).max()
+    assert err_after < 0.1 * err_before, (err_before, err_after)
+    assert np.isfinite(float(cost))
+
+    # single-mesh (1 device) run must agree
+    mesh1 = make_mesh(1)
+    t2b, q2b, costb = distributed_pose_graph_solve(
+        mesh1,
+        jnp.asarray(t0), jnp.asarray(q0), jnp.asarray(active), jnp.asarray(fixed),
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_dt), jnp.asarray(e_dq),
+        jnp.asarray(e_sqrt), jnp.asarray(e_valid),
+        jnp.asarray(rp_i), jnp.asarray(rp_q), jnp.asarray(rp_sqrt), jnp.asarray(rp_valid),
+        iters=10,
+    )
+    np.testing.assert_allclose(np.asarray(t2b)[:n], t2, atol=1e-8)
+    np.testing.assert_allclose(float(costb), float(cost), atol=1e-12)
