@@ -1,0 +1,103 @@
+"""Checkpoint/resume roundtrips: pose-graph database and estimator state.
+The estimator resume test continues a synthetic run from a snapshot and
+checks the trajectory stays consistent."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import isvins_tpu  # noqa: F401
+from isvins_tpu.utils.checkpoint import (
+    load_estimator,
+    load_pose_graph,
+    save_estimator,
+    save_pose_graph,
+)
+
+
+def test_pose_graph_roundtrip(rng):
+    from isvins_tpu.posegraph.keyframe_db import KeyframeDB
+
+    db = KeyframeDB(32, 16, 8)
+    for k in range(5):
+        db.add(
+            ts=float(k),
+            vio_t=rng.normal(size=3),
+            vio_q=np.array([1.0, 0, 0, 0]),
+            kp_desc=rng.integers(0, 2**32, size=(16, 8), dtype=np.uint32),
+            kp_valid=np.ones(16, bool),
+        )
+    db.loop_idx[4] = 0
+    db.loop_weight[4] = 12.5
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "pg.npz")
+        save_pose_graph(db, path)
+        db2 = load_pose_graph(path)
+    assert db2.n == 5
+    np.testing.assert_array_equal(db2.kp_desc[:5], db.kp_desc[:5])
+    np.testing.assert_allclose(db2.vio_t[:5], db.vio_t[:5])
+    assert db2.loop_idx[4] == 0 and db2.loop_weight[4] == 12.5
+    # retrieval still works on the restored db
+    assert db2.query(4, skip_recent=1) in (-1, 0, 1, 2, 3)
+
+
+def test_estimator_resume_continues_trajectory():
+    from test_estimator_e2e import run_sequence, ate
+    from isvins_tpu.config import euroc_config, WindowConfig
+    from isvins_tpu.estimator.estimator import Estimator
+    from isvins_tpu.solver import WindowDims
+    from isvins_tpu.utils.synthetic import make_world, project
+    from isvins_tpu.geom import mat_to_quat
+    import jax.numpy as jnp
+
+    cfg = euroc_config().replace(
+        window=WindowConfig(vo_size=4, all_size=10, max_features=256, max_imu_per_frame=64),
+        tic=(0.02, -0.01, 0.01),
+        ric=((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0)),
+    )
+    world = make_world(n_frames=24, n_landmarks=240, seed=0)
+    dims = WindowDims(B=10, Vo=4, F=256, N=2048)
+    est = Estimator(cfg, dims)
+    est._gt_init = lambda e: (
+        e.set_ground_truth_init(world.P, world.Q, world.V),
+        e.f_manager.depth.fill(-1.0),
+    )
+    tic = np.asarray(cfg.tic_np)
+    qic = np.asarray(mat_to_quat(jnp.asarray(cfg.ric_np)))
+
+    def feed(e, k):
+        if k > 0:
+            n = int(np.sum(world.imu_dts[k - 1] > 0))
+            for s in range(n):
+                e.process_imu(world.imu_dts[k - 1][s], world.imu_accs[k - 1][s],
+                              world.imu_gyrs[k - 1][s])
+        pts, _, vis = project(world, k, tic, qic)
+        e.process_image(np.where(vis)[0], pts[vis], world.frame_times[k])
+
+    for k in range(16):
+        feed(est, k)
+    assert est.solver_flag == 2
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "est.npz")
+        save_estimator(est, path)
+        est2 = Estimator(cfg, dims)
+        load_estimator(est2, path)
+        # carry over the streaming IMU anchor state
+        est2.acc_0 = est.acc_0.copy()
+        est2.gyr_0 = est.gyr_0.copy()
+        est2.first_imu = False
+
+    np.testing.assert_allclose(est2.Ps, est.Ps)
+    assert est2.solver_flag == 2
+
+    # both continue identically for the next frames
+    for k in range(16, 24):
+        feed(est, k)
+        feed(est2, k)
+    np.testing.assert_allclose(est2.Ps, est.Ps, atol=1e-9)
+    err = np.linalg.norm(est2.Ps[-1] - world.P[23])
+    assert err < 0.1, err
