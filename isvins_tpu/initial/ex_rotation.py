@@ -89,6 +89,9 @@ class ExtrinsicRotationCalibrator:
         q_ic = np.array([x[3], x[0], x[1], x[2]])
         self.ric = np.asarray(quat_to_mat(jnp.asarray(q_ic))).T
 
-        if n >= self.vo_size and S[-3] > 0.25:
+        # ref gate: singularValues().tail<3>()(1) == S[2], the second-smallest
+        # (initial_ex_rotation.cpp:60–63) — accepts only once the rotation is
+        # observed in all directions
+        if n >= self.vo_size and S[2] > 0.25:
             return self.ric.copy()
         return None

@@ -200,17 +200,20 @@ class PoseGraphBuilder:
             kp_norm=kp_norm,
             kp_valid=kp_valid,
         )
-        # install the edge on the previous keyframe
-        if self.last_kf is not None:
-            j = self.last_kf
-            self.db.edge_dt[j] = np.asarray(self.accum.dt)
-            self.db.edge_dq[j] = np.asarray(self.accum.dq)
-            info = np.linalg.inv(self.accum.cov + 1e-10 * np.eye(6))
-            info = 0.5 * (info + info.T)
-            w, V = np.linalg.eigh(info)
-            w = np.clip(w, 0.0, None)
-            self.db.edge_sqrt[j] = (V * np.sqrt(w)[None, :]) @ V.T
-            self.db.edge_valid[j] = True
+        # Install the accumulated chain as the NEW keyframe's own outgoing
+        # edge (the reference builds the KeyFrame *from* accumFactor, so the
+        # keyframe at the chain's anchor carries the chain as its edge toward
+        # the next keyframe; pose_graph_builder.cpp:200–204). It is dragged
+        # to the next keyframe's exact anchor by the retro-update above when
+        # that keyframe arrives.
+        self.db.edge_dt[idx] = np.asarray(self.accum.dt)
+        self.db.edge_dq[idx] = np.asarray(self.accum.dq)
+        info = np.linalg.inv(self.accum.cov + 1e-10 * np.eye(6))
+        info = 0.5 * (info + info.T)
+        w, V = np.linalg.eigh(info)
+        w = np.clip(w, 0.0, None)
+        self.db.edge_sqrt[idx] = (V * np.sqrt(w)[None, :]) @ V.T
+        self.db.edge_valid[idx] = True
 
         self.last_kf = idx
         self._win_pts3d_count = int(win_valid.sum())

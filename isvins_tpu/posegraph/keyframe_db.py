@@ -30,7 +30,10 @@ class KeyframeDB:
         self.opt_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
         self.cov = np.zeros((K, 6, 6))
 
-        # sequential edge to the NEXT keyframe (installed when next kf arrives)
+        # sequential edge to the NEXT keyframe: the keyframe's own
+        # accumulated VIO chain, installed at its creation and retro-dragged
+        # to the next keyframe's anchor when that keyframe arrives
+        # (pose_graph_builder.cpp:192–204)
         self.edge_dt = np.zeros((K, 3))
         self.edge_dq = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))
         self.edge_sqrt = np.zeros((K, 6, 6))

@@ -76,7 +76,7 @@ class System:
         pub_this = False
         if freq <= 0 or round(self.pub_count / max(t - self.first_image_time, 1e-9)) <= freq:
             pub_this = True
-            if self.pub_count / max(t - self.first_image_time, 1e-9) - freq < 0.01 * freq:
+            if abs(self.pub_count / max(t - self.first_image_time, 1e-9) - freq) < 0.01 * freq:
                 self.first_image_time = t
                 self.pub_count = 0
 

@@ -66,6 +66,8 @@ def save_estimator(est, path: str):
         imu_dt=est.imu_dt, imu_acc=est.imu_acc, imu_gyr=est.imu_gyr,
         imu_acc0=est.imu_acc0, imu_gyr0=est.imu_gyr0, imu_cnt=est.imu_cnt,
         frame_count=est.frame_count, solver_flag=est.solver_flag,
+        acc_0=est.acc_0, gyr_0=est.gyr_0, first_imu=est.first_imu,
+        marginalization_flag=est.marginalization_flag,
         has_priors=pr is not None,
         fm_ids=fm.ids, fm_start=fm.start, fm_obs=fm.obs, fm_vel=fm.vel,
         fm_has_obs=fm.has_obs, fm_depth=fm.depth, fm_solve_flag=fm.solve_flag,
@@ -84,6 +86,12 @@ def load_estimator(est, path: str):
         setattr(est, name, np.array(z[name]))  # fresh writable arrays
     est.frame_count = int(z["frame_count"])
     est.solver_flag = int(z["solver_flag"])
+    # IMU stream continuity: without these, the first post-resume sample is
+    # treated as the stream start and its interval mis-integrated
+    est.acc_0 = np.array(z["acc_0"])
+    est.gyr_0 = np.array(z["gyr_0"])
+    est.first_imu = bool(z["first_imu"])
+    est.marginalization_flag = int(z["marginalization_flag"])
     fm = est.f_manager
     for src, dst in [("fm_ids", "ids"), ("fm_start", "start"), ("fm_obs", "obs"),
                      ("fm_vel", "vel"), ("fm_has_obs", "has_obs"),

@@ -118,6 +118,65 @@ def test_pose_graph_optimize_closes_loop():
     np.testing.assert_allclose(mapped, db.opt_t[n - 1], atol=1e-8)
 
 
+def test_builder_sequential_edges_consistent():
+    """Structural regression for the edge off-by-one: on an L-shaped path
+    (where consecutive relative transforms DIFFER, unlike a circle), every
+    installed sequential edge must map keyframe j exactly onto keyframe j+1
+    after the retro-update (pose_graph_builder.cpp:192–204)."""
+    from isvins_tpu.estimator.marginalization import PoseGraphPacket
+    from isvins_tpu.posegraph import PoseGraphBuilder
+    from isvins_tpu.geom import quat_to_mat
+
+    cfg = euroc_config().replace(
+        posegraph=PoseGraphConfig(enabled=False, max_keyframes=64)
+    )
+    builder = PoseGraphBuilder(cfg)
+
+    # straight run along +x, 90-deg turn, straight run along +y; per-frame
+    # yaw increments only inside the corner -> relative transforms vary
+    n = 30
+    t_w = np.zeros((n, 3))
+    q_w = np.tile([1.0, 0, 0, 0], (n, 1))
+    yaw = 0.0
+    pos = np.zeros(3)
+    for k in range(1, n):
+        if 12 <= k < 18:
+            yaw += np.pi / 2 / 6
+        step = np.array([np.cos(yaw), np.sin(yaw), 0.0]) * (0.04 + 0.003 * k)
+        pos = pos + step
+        t_w[k] = pos
+        q_w[k] = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+
+    for k in range(n - 1):
+        qi = jnp.asarray(q_w[k])
+        dt = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_w[k + 1] - t_w[k])))
+        dq = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_w[k + 1]))))
+        pkt = PoseGraphPacket(
+            rel_dt=jnp.asarray(dt), rel_dq=jnp.asarray(dq),
+            cov_rel=jnp.eye(6) * 1e-4,
+            has_rollpitch=jnp.asarray(False), rp_q=jnp.asarray([1.0, 0, 0, 0]),
+            cov_abs=jnp.eye(2),
+            anchor_t=jnp.asarray(t_w[k]), anchor_q=jnp.asarray(q_w[k]),
+            ts=jnp.asarray(float(k)), distance=jnp.asarray(float(np.linalg.norm(dt))),
+        )
+        builder.push(pkt, None, image=None)
+
+    db = builder.db
+    assert db.n >= 4
+    for j in range(db.n - 1):
+        assert db.edge_valid[j]
+        Rj = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[j])))
+        pred = db.vio_t[j] + Rj @ db.edge_dt[j]
+        np.testing.assert_allclose(pred, db.vio_t[j + 1], atol=1e-9)
+        q_pred = np.asarray(
+            quat_normalize(quat_mul(jnp.asarray(db.vio_q[j]), jnp.asarray(db.edge_dq[j])))
+        )
+        dq_err = np.abs(np.dot(q_pred, db.vio_q[j + 1]))
+        assert dq_err > 1 - 1e-9
+    # the newest keyframe's own edge exists (chain toward the next keyframe)
+    assert db.edge_valid[db.n - 1]
+
+
 def test_builder_loop_closure_pipeline():
     """Rendered revisit: keyframes around a circle; the final keyframes
     revisit the start. The builder must detect the loop, verify it with PnP,
