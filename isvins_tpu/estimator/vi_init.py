@@ -28,6 +28,7 @@ from ..geom import (
     ypr_to_mat,
 )
 from ..initial import linear_alignment, solve_gyroscope_bias, solve_relative_pose
+from ..initial.five_point import solve_translation_with_rotation
 from ..initial.five_point import _triangulate_pair
 from ..initial.pnp import pnp_gn
 from ..solver import PriorState, ProjFactors, WindowState, solve_window
@@ -46,9 +47,36 @@ def check_imu_excitation(est) -> bool:
     return var >= est.cfg.solver.excitation_threshold
 
 
+def _gyro_rotation_prior(est, i):
+    """Relative CAMERA rotation frame i -> B-1 from the gyro preintegration
+    chain at the current bias estimate: R_ci_c(B-1) = RIC^T (prod dq) RIC.
+    Pre-init the gyro bias error is a few mrad/s, far below what 8-point E
+    estimation delivers on few clustered (wall-planar) correspondences."""
+    B = est.dims.B
+    imu_f = est._imu_factors()
+    dq = np.asarray(imu_f.pre.delta_q)  # (B-1, 4); segment j: frame j -> j+1
+    valid = np.asarray(imu_f.valid)
+    if not valid[i : B - 1].all():
+        return None
+    q = jnp.asarray([1.0, 0, 0, 0])
+    for j in range(i, B - 1):
+        q = quat_normalize(quat_mul(q, jnp.asarray(dq[j])))
+    R_body = np.asarray(quat_to_mat(q))
+    RIC = np.asarray(est.cfg.ric_np)
+    return RIC.T @ R_body @ RIC
+
+
 def find_seed_pair(est):
     """relativePose (estimator.cpp:431–459): earliest frame with >20
-    correspondences to the newest frame and mean parallax*460 > 30."""
+    correspondences to the newest frame and mean parallax*460 > 30.
+
+    Deviation from the reference's pure-vision findFundamentalMat seed: the
+    rotation is transported from the gyro preintegration chain and only the
+    translation direction is solved from the correspondences
+    (solve_translation_with_rotation) — wall-dominated views make the
+    8-point problem planar-degenerate, which poisons the SfM seed, the
+    gyro-bias solve, and through it the whole alignment. Falls back to
+    8-point E-RANSAC when the IMU chain is unavailable."""
     B = est.dims.B
     fm = est.f_manager
     # epipolar threshold ~1 px of tracking noise in normalized units
@@ -59,7 +87,13 @@ def find_seed_pair(est):
         if len(a) > 20:
             par = np.linalg.norm(a[:, :2] - b[:, :2], axis=1).mean()
             if par * 460.0 > 30.0:
-                ok, R, T, inl = solve_relative_pose(a[:, :2], b[:, :2], thresh=thresh)
+                R_prior = _gyro_rotation_prior(est, i)
+                if R_prior is not None:
+                    ok, R, T, inl = solve_translation_with_rotation(
+                        a[:, :2], b[:, :2], R_prior, thresh=thresh
+                    )
+                else:
+                    ok, R, T, inl = solve_relative_pose(a[:, :2], b[:, :2], thresh=thresh)
                 if ok:
                     return i, R, T
     return None, None, None
@@ -239,6 +273,10 @@ def run_visual_inertial_init(est) -> bool:
     T_cam = t_wc
 
     # ---- gyro bias + re-integration (initial_aligment.cpp:3–37)
+    # NOTE: est.Bgs is mutated for the re-integration, but restored on any
+    # later failure — a failed attempt must not leak a (possibly garbage)
+    # bias into the next attempt's preintegrations
+    Bgs_backup = est.Bgs.copy()
     pre_list_raw = est._imu_factors().pre
     pres = [jax.tree_util.tree_map(lambda a: a[k], pre_list_raw) for k in range(B - 1)]
     dbg = solve_gyroscope_bias(R_body, pres)
@@ -249,6 +287,7 @@ def run_visual_inertial_init(est) -> bool:
     # ---- linear alignment (+ gravity refinement)
     ok, g_c0, x = linear_alignment(R_body, T_cam, pres, TIC, float(np.linalg.norm(est.G)))
     if not ok:
+        est.Bgs[:] = Bgs_backup
         return False
     s = x[-1]
 

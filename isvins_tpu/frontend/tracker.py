@@ -42,6 +42,7 @@ class FeatureTracker:
         self.prev_img = None
         self.prev_time = None
         self.next_id = 0
+        self._ransac_seed = 0
 
         self._detect = jax.jit(self._detect_impl, static_argnames=("k",))
 
@@ -116,13 +117,23 @@ class FeatureTracker:
         # (the reference's /460 virtual focal assumed the EuRoC camera)
         thresh = self.cfg.f_threshold / float(self.cam.fx)
         n = len(rows)
-        rng = np.random.default_rng(0)
+        # fresh sample pattern each frame: a fixed seed correlates the
+        # rejection across frames (same-sample failure modes recur)
+        rng = np.random.default_rng(self._ransac_seed)
+        self._ransac_seed += 1
         samples = np.stack([rng.choice(n, size=8, replace=False) for _ in range(128)])
         _, _, inl, n_inl, _ = _ransac_core(
             jnp.asarray(un_prev), jnp.asarray(un_cur), jnp.ones(n, bool),
             jnp.asarray(samples), thresh * thresh,
         )
         inl = np.asarray(inl)
+        # degeneracy guard: a (near-)planar view makes the 8-point problem
+        # rank-deficient and the "best" model arbitrary — if the winner
+        # explains less than half the candidates, do not trust its verdict
+        # (cv::findFundamentalMat in the reference degrades the same way;
+        # keeping the tracks is strictly safer than a coin-flip cull)
+        if int(n_inl) < 0.5 * n:
+            return
         kill = rows[~inl]
         self.valid[kill] = False
 
@@ -155,7 +166,10 @@ class FeatureTracker:
         )
         cand = np.array(cand)
         vals = np.array(vals)
-        ok = np.asarray(ok) & (vals > 1e-4 * max(float(vals[0]), 1e-9))
+        # GFTT-style quality floor relative to the strongest response
+        # (feature_tracker_simple.cpp:140 uses cv::goodFeaturesToTrack with
+        # qualityLevel 0.01); weak texture tracks drift and churn
+        ok = np.asarray(ok) & (vals > 0.01 * max(float(vals[0]), 1e-9))
         free = np.where(~self.valid)[0]
         take = min(n_new, int(ok.sum()), len(free))
         sel = np.where(ok)[0][:take]

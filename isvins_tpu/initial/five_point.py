@@ -120,6 +120,61 @@ def _ransac_core(p1, p2, valid, samples, thresh_sq):
     return R21, t21, inl2, jnp.sum(inl2), votes
 
 
+def solve_translation_with_rotation(pts1, pts2, R, thresh: float = 1.0 / 460.0,
+                                    iters: int = 3, min_inliers: int = 12):
+    """Relative translation direction given a known relative rotation.
+
+    (R, returned T) = pose of cam2 in cam1, same convention as
+    solve_relative_pose. With R fixed (e.g. transported from gyro
+    preintegration), each correspondence gives one LINEAR constraint
+    c_i · t21 = 0 with c_i = (R21 x1_i) x x2_i — a 3-dof SVD problem that is
+    immune to the planar degeneracy that breaks 8-point E estimation on
+    wall-dominated views (the indoor-normal case). Robustified by IRLS
+    trimming on Sampson distance; sign fixed by cheirality.
+
+    This is the VIO-native seed the reference's pure-vision
+    cv::findFundamentalMat path lacks (solve_5pts.cpp:193–227): by
+    initialization time gyro preintegration is available and its bias error
+    (< a few mrad over a window) is far below 8-point noise on ~25 clustered
+    correspondences."""
+    pts1 = np.asarray(pts1)[:, :2]
+    pts2 = np.asarray(pts2)[:, :2]
+    n = len(pts1)
+    if n < min_inliers:
+        return False, R, np.zeros(3), np.zeros(n, bool)
+    R21 = np.asarray(R).T
+    x1 = np.concatenate([pts1, np.ones((n, 1))], axis=1)
+    x2 = np.concatenate([pts2, np.ones((n, 1))], axis=1)
+    Rx1 = x1 @ R21.T
+    C = np.cross(Rx1, x2)  # rows c_i
+    keep = np.ones(n, bool)
+    t21 = None
+    for _ in range(iters):
+        if keep.sum() < 3:
+            return False, R, np.zeros(3), np.zeros(n, bool)
+        _, _, Vt = np.linalg.svd(C[keep], full_matrices=True)
+        t21 = Vt[-1]
+        tx = np.array([[0.0, -t21[2], t21[1]],
+                       [t21[2], 0.0, -t21[0]],
+                       [-t21[1], t21[0], 0.0]])
+        E = tx @ R21  # [t21]x R21
+        d = np.asarray(_sampson_sq(jnp.asarray(E), jnp.asarray(pts1), jnp.asarray(pts2)))
+        keep = d < thresh * thresh
+    inl = keep
+    if inl.sum() < min_inliers:
+        return False, R, np.zeros(3), inl
+    # cheirality: triangulate inliers, flip t if depths vote negative
+    d1, d2 = _triangulate_pair(
+        jnp.asarray(R21), jnp.asarray(t21), jnp.asarray(pts1), jnp.asarray(pts2)
+    )
+    pos = int(np.sum(((np.asarray(d1) > 0) & (np.asarray(d2) > 0)) & inl))
+    neg = int(np.sum(((np.asarray(d1) < 0) & (np.asarray(d2) < 0)) & inl))
+    if neg > pos:
+        t21 = -t21
+    T = -np.asarray(R21).T @ t21  # T = -R21^T t21: cam2 position in cam1
+    return True, np.asarray(R), T, inl
+
+
 def solve_relative_pose(
     pts1,
     pts2,

@@ -20,7 +20,7 @@ from isvins_tpu.geom import mat_to_quat
 from isvins_tpu.solver import WindowDims
 from isvins_tpu.system import System
 from isvins_tpu.utils.evaluation import ate_rmse
-from isvins_tpu.utils.synthetic import StampRenderer, make_world
+from isvins_tpu.utils.synthetic import RoomRenderer, make_world
 
 
 @pytest.mark.slow
@@ -32,7 +32,7 @@ def test_system_pixels_to_trajectory():
     R_bc = ((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0))
     cfg = euroc_config().replace(
         camera=cam,
-        tracker=TrackerConfig(max_cnt=70, min_dist=16, freq=100, lk_levels=3,
+        tracker=TrackerConfig(max_cnt=70, min_dist=16, freq=100, lk_levels=4,
                               lk_win=21, equalize=False, border=4),
         window=WindowConfig(vo_size=4, all_size=10, max_features=256,
                             max_imu_per_frame=64),
@@ -48,7 +48,7 @@ def test_system_pixels_to_trajectory():
     world = make_world(n_frames=40, frame_hz=10.0, imu_hz=200.0,
                        n_landmarks=900, seed=1)
     qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
-    renderer = StampRenderer(world, cam, np.zeros(3), qic)
+    renderer = RoomRenderer(world, cam, np.zeros(3), qic)
 
     sys_ = System(cfg, dims, enable_loop=False)
     for k in range(40):
@@ -68,4 +68,4 @@ def test_system_pixels_to_trajectory():
     p_est = np.array([P for (t, P, Q) in traj])
     # GT association by frame time
     rmse = ate_rmse(t_est, p_est, world.frame_times, world.P, align="sim3")
-    assert rmse < 0.6, rmse  # flat-stamp renderer biases tracking ~1px
+    assert rmse < 0.15, rmse  # perspective-correct renderer: tight bound
