@@ -1,7 +1,10 @@
-"""Benchmark: steady-state VIO window-solve throughput on the available
-accelerator (frames/s per chip).
+"""Benchmark: steady-state VIO window-solve performance on the available
+accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline (single-stream window-solve frames/s), preceded by '#'-prefixed
+detail lines: per-stage breakdown, batched multi-stream throughput, and an
+end-to-end (tracker included, rendered frames) pipeline frames/s.
 
 Baseline: the reference budgets <= 8 ms of Ceres DENSE_SCHUR/DOGLEG per frame
 (config/euroc_config.yaml:49, estimator.cpp:1124–1128) => 125 frames/s on its
@@ -14,42 +17,144 @@ import json
 import sys
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-def main():
+def _time(fn, *args, n=30, warmup=True):
+    if warmup:
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_solve():
     from isvins_tpu.parallel import make_batch_problem
     from isvins_tpu.solver import WindowDims, solve_window
 
     dims = WindowDims(B=18, Vo=8, F=1000, N=3072)
     state, imu, proj, priors, G, psi = make_batch_problem(1, dims, dtype=jnp.float32)
     sq = lambda tree: jax.tree_util.tree_map(lambda a: a[0], tree)
-    state, imu, proj, priors = sq(state), sq(imu), sq(proj), sq(priors)
+    state1, imu1, proj1, priors1 = sq(state), sq(imu), sq(proj), sq(priors)
 
     fn = jax.jit(
         lambda st, im, pr, pri: solve_window(st, im, pr, pri, G, psi, dims, iters=10)
     )
-    # warmup / compile
-    out = fn(state, imu, proj, priors)
-    jax.block_until_ready(out)
+    dt = _time(fn, state1, imu1, proj1, priors1)
+    fps = 1.0 / dt
+    print(f"# window_solve_single_stream: {dt*1e3:.3f} ms -> {fps:.1f} frames/s",
+          file=sys.stderr)
 
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(state, imu, proj, priors)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    # per-iteration marginal cost (10 -> 20 iters)
+    fn20 = jax.jit(
+        lambda st, im, pr, pri: solve_window(st, im, pr, pri, G, psi, dims, iters=20)
+    )
+    dt20 = _time(fn20, state1, imu1, proj1, priors1, n=15)
+    print(f"# per_lm_iteration_marginal: {(dt20-dt)/10*1e3:.3f} ms",
+          file=sys.stderr)
 
-    frames_per_s = 1.0 / dt
+    # batched multi-stream throughput (sequence parallelism on one chip)
+    NB = 8
+    stateB, imuB, projB, priorsB, G2, psi2 = make_batch_problem(
+        NB, dims, dtype=jnp.float32
+    )
+    fnB = jax.jit(
+        jax.vmap(
+            lambda st, im, pr, pri: solve_window(st, im, pr, pri, G2, psi2, dims, iters=10)
+        )
+    )
+    dtB = _time(fnB, stateB, imuB, projB, priorsB, n=15)
+    print(f"# window_solve_batched_x{NB}: {dtB*1e3:.3f} ms -> "
+          f"{NB/dtB:.1f} frames/s throughput", file=sys.stderr)
+    return fps, NB / dtB
+
+
+def bench_e2e():
+    """Full-pipeline frames/s: rendered frames -> tracker -> estimator
+    (steady state, NON_LINEAR), host bookkeeping included."""
+    from isvins_tpu.config import (CameraConfig, NoiseConfig, PoseGraphConfig,
+                                   TrackerConfig, WindowConfig, euroc_config)
+    from isvins_tpu.geom import mat_to_quat
+    from isvins_tpu.solver import WindowDims
+    from isvins_tpu.system import System
+    from isvins_tpu.utils.synthetic import RoomRenderer, make_world
+
+    H, W, f = 240, 320, 200.0
+    cam = CameraConfig(width=W, height=H, fx=f, fy=f, cx=W / 2, cy=H / 2,
+                       k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    R_bc = ((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0))
+    cfg = euroc_config().replace(
+        camera=cam,
+        tracker=TrackerConfig(max_cnt=70, min_dist=16, freq=100, lk_levels=4,
+                              lk_win=21, equalize=False, border=4),
+        window=WindowConfig(vo_size=4, all_size=10, max_features=256,
+                            max_imu_per_frame=64),
+        noise=NoiseConfig(acc_n=0.05, gyr_n=0.005, acc_w=1e-4, gyr_w=1e-5,
+                          pixel_sqrt_info=f),
+        solver=euroc_config().solver.__class__(excitation_threshold=0.08),
+        posegraph=PoseGraphConfig(enabled=False),
+        tic=(0.0, 0.0, 0.0), ric=R_bc,
+    )
+    dims = WindowDims(B=10, Vo=4, F=256, N=2048)
+    n_frames = 40
+    world = make_world(n_frames=n_frames, frame_hz=10.0, imu_hz=200.0,
+                       n_landmarks=300, seed=1)
+    qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
+    renderer = RoomRenderer(world, cam, np.zeros(3), qic)
+    frames = [renderer.render(k)[0] for k in range(n_frames)]
+
+    sys_ = System(cfg, dims, enable_loop=False)
+    t_track = 0.0
+    t_est = 0.0
+    n_steady = 0
+    t_steady0 = None
+    for k in range(n_frames):
+        if k > 0:
+            n = int(np.sum(world.imu_dts[k - 1] > 0))
+            acc_t = world.frame_times[k - 1]
+            for s in range(n):
+                acc_t += world.imu_dts[k - 1][s]
+                sys_.pub_imu(acc_t, world.imu_accs[k - 1][s], world.imu_gyrs[k - 1][s])
+        t0 = time.perf_counter()
+        sys_.pub_image(world.frame_times[k], frames[k])
+        dt = time.perf_counter() - t0
+        if sys_.estimator.solver_flag == 2:  # NON_LINEAR: steady state
+            if t_steady0 is None:
+                t_steady0 = dt  # first solved frame includes compile; skip
+            else:
+                t_est += dt
+                n_steady += 1
+    if n_steady == 0:
+        return None
+    e2e_fps = n_steady / t_est
+    print(f"# e2e_pipeline (tracker+estimator, steady-state): "
+          f"{t_est/n_steady*1e3:.1f} ms/frame -> {e2e_fps:.1f} frames/s",
+          file=sys.stderr)
+    return e2e_fps
+
+
+def main():
+    fps, fps_batched = bench_solve()
+    try:
+        e2e = bench_e2e()
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# e2e bench failed: {e}", file=sys.stderr)
+        e2e = None
     baseline = 125.0  # frames/s implied by the reference's 8 ms solver budget
     print(
         json.dumps(
             {
                 "metric": "vio_window_solve_frames_per_s",
-                "value": round(frames_per_s, 2),
+                "value": round(fps, 2),
                 "unit": "frames/s (18-frame window, 1000 lm, 3072 obs, 10 LM iters, fp32)",
-                "vs_baseline": round(frames_per_s / baseline, 3),
+                "vs_baseline": round(fps / baseline, 3),
+                "batched_x8_throughput": round(fps_batched, 2),
+                "e2e_pipeline_fps": round(e2e, 2) if e2e else None,
             }
         )
     )

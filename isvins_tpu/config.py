@@ -95,6 +95,7 @@ class SolverConfig:
     estimate_td: bool = False
     td: float = 0.0
     excitation_threshold: float = 0.25  # checkIMUExcitation (estimator.cpp:232)
+    outlier_reproj_px: float = 3.0  # post-solve mean-reprojection culling gate
 
 
 @dataclass(frozen=True)

@@ -352,6 +352,14 @@ class Estimator:
 
         pf = self._solve_once(self.priors, self.cfg.solver.max_iterations)
 
+        # post-solve reprojection outlier culling (flagged rows are erased by
+        # remove_failures after the slide; see FeatureManager.mark_outliers)
+        self.f_manager.mark_outliers(
+            self.Ps, self.Qs, self.tic, self.qic,
+            focal=float(self.cfg.camera.fx),
+            thresh_px=self.cfg.solver.outlier_reproj_px,
+        )
+
         # exact pseudo-measurement drag old -> final states (:1132–1144)
         self._drag_priors(old_P, old_Q, old_V, old_Ba, old_Bg)
         if self.marginalization_flag == MARGIN_OLD:

@@ -71,32 +71,51 @@ class FeatureManager:
     def add_features(self, frame_count: int, feat_ids, pts, vels=None) -> bool:
         """Insert the frame's feature packet; returns True if the frame is a
         keyframe (-> MARGIN_OLD) per the parallax test."""
-        feat_ids = np.asarray(feat_ids)
+        feat_ids = np.asarray(feat_ids, dtype=np.int64)
         pts = np.asarray(pts)
-        self.last_track_num = 0
-        id_to_row = {int(i): r for r, i in enumerate(self.ids) if i >= 0}
+        # vectorized id -> row match via sorted search over active slots
+        act_rows = np.where(self.ids >= 0)[0]
+        if len(act_rows) and len(feat_ids):
+            order = np.argsort(self.ids[act_rows])
+            sorted_ids = self.ids[act_rows][order]
+            pos = np.searchsorted(sorted_ids, feat_ids)
+            pos_c = np.clip(pos, 0, len(sorted_ids) - 1)
+            found = sorted_ids[pos_c] == feat_ids
+            match_rows = act_rows[order][pos_c]
+        else:
+            found = np.zeros(len(feat_ids), bool)
+            match_rows = np.zeros(len(feat_ids), np.int64)
+        self.last_track_num = int(found.sum())
+
+        # existing tracks: batched observation write
+        er = match_rows[found]
+        self.obs[er, frame_count] = pts[found]
+        if vels is not None:
+            self.vel[er, frame_count] = np.asarray(vels)[found]
+        self.has_obs[er, frame_count] = True
+
+        # new tracks: assign free slots in order; overflow drops the rest
+        new_idx = np.where(~found)[0]
         free_rows = np.where(self.ids < 0)[0]
-        free_ptr = 0
-        for k, fid in enumerate(feat_ids):
-            fid = int(fid)
-            row = id_to_row.get(fid)
-            if row is None:
-                if free_ptr >= len(free_rows):
-                    continue  # capacity full: drop new feature
-                row = int(free_rows[free_ptr])
-                free_ptr += 1
-                self.ids[row] = fid
-                self.start[row] = frame_count
-                self.has_obs[row, :] = False
-                self.depth[row] = -1.0
-                self.solve_flag[row] = 0
-                self.outlier[row] = False
-            else:
-                self.last_track_num += 1
-            self.obs[row, frame_count] = pts[k]
-            if vels is not None:
-                self.vel[row, frame_count] = vels[k]
-            self.has_obs[row, frame_count] = True
+        if len(new_idx) > len(free_rows):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "feature capacity full: dropping %d new tracks",
+                len(new_idx) - len(free_rows),
+            )
+            new_idx = new_idx[: len(free_rows)]
+        nr = free_rows[: len(new_idx)]
+        self.ids[nr] = feat_ids[new_idx]
+        self.start[nr] = frame_count
+        self.has_obs[nr, :] = False
+        self.depth[nr] = -1.0
+        self.solve_flag[nr] = 0
+        self.outlier[nr] = False
+        self.obs[nr, frame_count] = pts[new_idx]
+        if vels is not None:
+            self.vel[nr, frame_count] = np.asarray(vels)[new_idx]
+        self.has_obs[nr, frame_count] = True
 
         if frame_count < 2 or self.last_track_num < 20:
             return True
@@ -163,6 +182,44 @@ class FeatureManager:
         self.ids[kill] = -1
         self.has_obs[kill] = False
 
+    def mark_outliers(self, Ps, Qs, tic, qic, focal: float,
+                      thresh_px: float = 3.0) -> int:
+        """Post-solve reprojection outlier culling (vectorized host pass).
+
+        The reference carries an `is_outlier` flag whose only setter is
+        commented out (feature_manager.cpp:249) — it ships with the frontend
+        RANSAC as the sole visual outlier gate. A mistracked feature that
+        survives RANSAC then sits in the window for its whole track life,
+        biasing every solve through the Cauchy tail. Here: reproject every
+        observation at the solved state, flag tracks whose mean error
+        exceeds thresh_px. Returns the number flagged."""
+        good = self.good_mask() & (self.depth > 0)
+        rows = np.where(good)[0]
+        if len(rows) == 0:
+            return 0
+        R = np.asarray(quat_to_mat(jnp.asarray(Qs)))  # (B,3,3)
+        Ric = np.asarray(quat_to_mat(jnp.asarray(qic)))
+        tic = np.asarray(tic)
+        hosts = self.start[rows]
+        # world point of each track from its host observation + depth
+        pc = self.obs[rows, hosts] * self.depth[rows, None]
+        pb = pc @ Ric.T + tic
+        pw = np.einsum("nij,nj->ni", R[hosts], pb) + np.asarray(Ps)[hosts]
+        # reproject into every observed frame
+        diff = pw[:, None, :] - np.asarray(Ps)[None, :, :]  # (n, B, 3)
+        pb_all = np.einsum("bji,nbj->nbi", R, diff)  # R_b^T (pw - P_b)
+        pc_all = np.einsum("ji,nbj->nbi", Ric, pb_all - tic)
+        z = pc_all[:, :, 2]
+        z_safe = np.where(np.abs(z) > 1e-6, z, 1.0)
+        uv = pc_all[:, :, :2] / z_safe[:, :, None]
+        err = np.linalg.norm(uv - self.obs[rows][:, :, :2], axis=2) * focal
+        m = self.has_obs[rows] & (z > 0.05)
+        n_obs = np.maximum(m.sum(axis=1), 1)
+        mean_err = np.where(m, err, 0.0).sum(axis=1) / n_obs
+        bad = (mean_err > thresh_px) | ((m.sum(axis=1) == 0) & (self.used_num()[rows] >= 2))
+        self.outlier[rows[bad]] = True
+        return int(bad.sum())
+
     # ----------------------------------------------------------- window shifts
     def _shift_all_left(self):
         """Window slid by one: every slot-indexed observation moves down one.
@@ -226,47 +283,52 @@ class FeatureManager:
         estimator.cpp:1083–1087 tagging). Returns dict of numpy arrays."""
         good = self.good_mask()
         rows = np.where(good)[0]
-        idx_i, idx_j, fidx, pts_i, pts_j = [], [], [], [], []
-        m_pts_i, m_pts_j, m_fidx = [], [], []
-        for r in rows:
-            host = int(self.start[r])
-            frames = np.where(self.has_obs[r])[0]
-            pi = self.obs[r, host]
-            for f in frames:
-                if f == host:
-                    continue
-                idx_i.append(host)
-                idx_j.append(f)
-                fidx.append(r)
-                pts_i.append(pi)
-                pts_j.append(self.obs[r, f])
-                if marg_old and host == 0 and f == 1:
-                    m_pts_i.append(pi)
-                    m_pts_j.append(self.obs[r, f])
-                    m_fidx.append(r)
-        n = len(idx_i)
+        # vectorized flattening (the per-observation Python loop here ran
+        # ~10^3 iterations per frame and was a host bottleneck): observation
+        # mask with the host column cleared, then one np.where — row-major
+        # order matches the original (row asc, frame asc) exactly
+        m = self.has_obs[rows].copy()
+        m[np.arange(len(rows)), self.start[rows]] = False
+        rr, ff = np.where(m)
+        fidx_a = rows[rr].astype(np.int32)
+        idx_j_a = ff.astype(np.int32)
+        idx_i_a = self.start[rows][rr].astype(np.int32)
+        pts_i_a = self.obs[fidx_a, idx_i_a]
+        pts_j_a = self.obs[fidx_a, idx_j_a]
+
+        if marg_old:
+            msel = (idx_i_a == 0) & (idx_j_a == 1)
+            m_pts_i = pts_i_a[msel]
+            m_pts_j = pts_j_a[msel]
+            m_fidx = fidx_a[msel]
+        else:
+            m_pts_i = np.zeros((0, 3))
+            m_pts_j = np.zeros((0, 3))
+            m_fidx = np.zeros(0, np.int32)
+
+        n = len(fidx_a)
         if n > N:
-            # capacity overflow: keep the first N (should not happen with
-            # MAX_CNT*B < N)
-            idx_i, idx_j, fidx = idx_i[:N], idx_j[:N], fidx[:N]
-            pts_i, pts_j = pts_i[:N], pts_j[:N]
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "proj-factor capacity overflow: %d observations > N=%d; "
+                "dropping the %d newest-frame observations", n, N, n - N
+            )
+            fidx_a, idx_i_a, idx_j_a = fidx_a[:N], idx_i_a[:N], idx_j_a[:N]
+            pts_i_a, pts_j_a = pts_i_a[:N], pts_j_a[:N]
             n = N
         pad = N - n
 
-        def pk(lst, padval):
-            arr = np.asarray(lst, dtype=np.float64).reshape(n, -1) if n else np.zeros((0, len(padval)))
-            return np.concatenate([arr, np.tile(padval, (pad, 1))])
-
         out = {
-            "idx_i": np.concatenate([np.asarray(idx_i, np.int32), np.zeros(pad, np.int32)]),
-            "idx_j": np.concatenate([np.asarray(idx_j, np.int32), np.ones(pad, np.int32)]),
-            "fidx": np.concatenate([np.asarray(fidx, np.int32), np.zeros(pad, np.int32)]),
-            "pts_i": pk(pts_i, np.array([0.0, 0.0, 1.0])),
-            "pts_j": pk(pts_j, np.array([0.0, 0.0, 1.0])),
+            "idx_i": np.concatenate([idx_i_a, np.zeros(pad, np.int32)]),
+            "idx_j": np.concatenate([idx_j_a, np.ones(pad, np.int32)]),
+            "fidx": np.concatenate([fidx_a, np.zeros(pad, np.int32)]),
+            "pts_i": np.concatenate([pts_i_a, np.tile([0.0, 0.0, 1.0], (pad, 1))]),
+            "pts_j": np.concatenate([pts_j_a, np.tile([0.0, 0.0, 1.0], (pad, 1))]),
             "valid": np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
-            "marg_pts_i": np.asarray(m_pts_i).reshape(-1, 3),
-            "marg_pts_j": np.asarray(m_pts_j).reshape(-1, 3),
-            "marg_fidx": np.asarray(m_fidx, np.int32).reshape(-1),
+            "marg_pts_i": m_pts_i.reshape(-1, 3),
+            "marg_pts_j": m_pts_j.reshape(-1, 3),
+            "marg_fidx": m_fidx.reshape(-1),
         }
         return out
 

@@ -138,19 +138,22 @@ class FeatureTracker:
         self.valid[kill] = False
 
     def _dedup_min_dist(self):
-        """Greedy min-dist keep, longest track first (setMask)."""
+        """Greedy min-dist keep, longest track first (setMask). Vectorized:
+        one pairwise distance matrix, then an O(n) suppression sweep."""
         rows = np.where(self.valid)[0]
         if len(rows) == 0:
             return
         order = rows[np.argsort(-self.track_cnt[rows])]
-        kept = []
+        P = self.pts[order]
+        d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
         r2 = self.cfg.min_dist**2
-        for r in order:
-            p = self.pts[r]
-            if all((p[0] - self.pts[k][0]) ** 2 + (p[1] - self.pts[k][1]) ** 2 > r2 for k in kept):
-                kept.append(r)
-            else:
-                self.valid[r] = False
+        n = len(order)
+        keep = np.ones(n, bool)
+        idx = np.arange(n)
+        for i in range(n):
+            if keep[i]:
+                keep[(d2[i] < r2) & (idx > i)] = False
+        self.valid[order[~keep]] = False
 
     def _detect_impl(self, imgf, pts, valid, k):
         resp = shi_tomasi_response(imgf)

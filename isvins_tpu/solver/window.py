@@ -197,26 +197,36 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
 
     r, J_pi, J_vbi, J_pj, J_vbj = jax.vmap(one)(i_idx)
     w = imu.valid.astype(dtype)[:, None]
+    # single whitening matmul over the concatenated (15, 6+9+6+9) block
+    Jcat = jnp.concatenate([J_pi, J_vbi, J_pj, J_vbj], axis=2)  # (n,15,30)
+    Jcat = jnp.einsum("nab,nbk->nak", S, Jcat) * w[..., None]
     r_w = jnp.einsum("nab,nb->na", S, r) * w
-    J_pi = jnp.einsum("nab,nbk->nak", S, J_pi) * w[..., None]
-    J_vbi = jnp.einsum("nab,nbk->nak", S, J_vbi) * w[..., None]
-    J_pj = jnp.einsum("nab,nbk->nak", S, J_pj) * w[..., None]
-    J_vbj = jnp.einsum("nab,nbk->nak", S, J_vbj) * w[..., None]
+    J_pi, J_vbi = Jcat[:, :, :6], Jcat[:, :, 6:15]
+    J_pj, J_vbj = Jcat[:, :, 15:21], Jcat[:, :, 21:30]
 
-    oh_i = _pose_cols_onehot(i_idx, B, dtype)
-    oh_j = _pose_cols_onehot(j_idx, B, dtype)
-    Jrows = jnp.zeros((B - 1, 15, D), dtype)
-    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pi, oh_i))
-    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pj, oh_j))
-    Jrows = Jrows.at[:, :, 6 * B : 15 * B].add(_expand_pose_block(J_vbi, oh_i))
-    Jrows = Jrows.at[:, :, 6 * B : 15 * B].add(_expand_pose_block(J_vbj, oh_j))
+    # each factor touches frames (k, k+1): stack the two endpoints and let
+    # the einsum sum them — one expansion per block family instead of four
+    oh2 = jnp.stack(
+        [_pose_cols_onehot(i_idx, B, dtype), _pose_cols_onehot(j_idx, B, dtype)],
+        axis=1,
+    )  # (n, 2, B)
+    Jp2 = jnp.stack([J_pi, J_pj], axis=1)  # (n, 2, 15, 6)
+    Jv2 = jnp.stack([J_vbi, J_vbj], axis=1)  # (n, 2, 15, 9)
+    pose_part = jnp.einsum("nsrk,nsb->nrbk", Jp2, oh2).reshape(B - 1, 15, 6 * B)
+    vb_part = jnp.einsum("nsrk,nsb->nrbk", Jv2, oh2).reshape(B - 1, 15, 9 * B)
+    Jrows = jnp.concatenate(
+        [pose_part, vb_part, jnp.zeros((B - 1, 15, 6), dtype)], axis=2
+    )
     cost = 0.5 * jnp.sum(r_w * r_w)
     return r_w, Jrows, cost
 
 
 def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims,
                estimate_extrinsic: bool = False):
-    """Whitened+robust projection residuals (N,2), dense pose rows (N,2,D),
+    """Whitened+robust projection residuals (N,2), REDUCED dense rows
+    (N,2,6B+6) over [pose columns | extrinsic] (projection factors never
+    touch speed/bias columns — carrying the 9B zero columns through the
+    normal-equation matmuls wastes ~60% of the dominant J^T J work),
     landmark partials (N,2), cost."""
     B, D = dims.B, dims.D
     dtype = state.P.dtype
@@ -260,10 +270,11 @@ def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: Win
 
     oh_i = _pose_cols_onehot(proj.idx_i, B, dtype)
     oh_j = _pose_cols_onehot(proj.idx_j, B, dtype)
-    Jrows = jnp.zeros((proj.pts_i.shape[0], 2, D), dtype)
-    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pi, oh_i))
-    Jrows = Jrows.at[:, :, : 6 * B].add(_expand_pose_block(J_pj, oh_j))
-    Jrows = Jrows.at[:, :, 15 * B :].add(J_ex)
+    # reduced layout: [0, 6B) pose columns, [6B, 6B+6) extrinsic
+    Jrows = jnp.concatenate(
+        [_expand_pose_block(J_pi, oh_i) + _expand_pose_block(J_pj, oh_j), J_ex],
+        axis=2,
+    )
     cost = 0.5 * jnp.sum(_cauchy_rho(r_sq) * vw)
     return r_w, Jrows, J_dep, cost
 
@@ -356,8 +367,13 @@ def build_normal_equations(
     dims: WindowDims,
     estimate_extrinsic: bool = False,
 ):
-    """Returns (H (D,D), b (D,), h (F,), W (F,D), b_l (F,), cost)."""
+    """Returns (H (D,D), b (D,), h (F,), W (F,Dr), b_l (F,), cost), with the
+    landmark coupling W in the REDUCED column layout Dr = 6B+6
+    ([pose | extrinsic]) — projection factors never touch speed/bias
+    columns, so the heavy (2N x cols) matmuls run at 114 columns instead
+    of 276 and are block-inserted into the full system."""
     B, F, D = dims.B, dims.F, dims.D
+    Dr = 6 * B + 6
     dtype = state.P.dtype
 
     r_imu, J_imu, c_imu = _eval_imu(state, imu, G, dims)
@@ -366,29 +382,54 @@ def build_normal_equations(
     )
     prior_rows, c_prior = _eval_priors(state, priors, dims)
 
-    # stack all pose-system rows
-    all_r = [r_imu.reshape(-1), r_proj.reshape(-1)] + [r for r, _ in prior_rows]
-    all_J = [J_imu.reshape(-1, D), J_proj.reshape(-1, D)] + [J for _, J in prior_rows]
-    Jfull = jnp.concatenate(all_J, axis=0)
-    rfull = jnp.concatenate(all_r, axis=0)
+    # imu + prior rows in the full layout (few rows; cheap)
+    all_r = [r_imu.reshape(-1)] + [r for r, _ in prior_rows]
+    all_J = [J_imu.reshape(-1, D)] + [J for _, J in prior_rows]
+    Jip = jnp.concatenate(all_J, axis=0)
+    rip = jnp.concatenate(all_r, axis=0)
 
+    # projection rows in the reduced layout (the bulk of the system)
+    n_obs = proj.fidx.shape[0]
+    Jp = J_proj.reshape(2 * n_obs, Dr)
+    rp = r_proj.reshape(-1)
     if not estimate_extrinsic:
-        mask = jnp.ones(D, dtype).at[15 * B :].set(0.0)
-        Jfull = Jfull * mask[None, :]
+        exmask = jnp.ones(Dr, dtype).at[6 * B :].set(0.0)
+        Jp = Jp * exmask[None, :]
+        Jip = Jip * jnp.ones(D, dtype).at[15 * B :].set(0.0)[None, :]
 
-    H = Jfull.T @ Jfull
-    b = -(Jfull.T @ rfull)
+    Hp = Jp.T @ Jp  # (Dr, Dr)
+    bp = -(Jp.T @ rp)
+    H = Jip.T @ Jip
+    b = -(Jip.T @ rip)
+    # block-insert the reduced projection system: pose block + ex block
+    H = H.at[: 6 * B, : 6 * B].add(Hp[: 6 * B, : 6 * B])
+    H = H.at[: 6 * B, 15 * B :].add(Hp[: 6 * B, 6 * B :])
+    H = H.at[15 * B :, : 6 * B].add(Hp[6 * B :, : 6 * B])
+    H = H.at[15 * B :, 15 * B :].add(Hp[6 * B :, 6 * B :])
+    b = b.at[: 6 * B].add(bp[: 6 * B])
+    b = b.at[15 * B :].add(bp[6 * B :])
     if not estimate_extrinsic:
         H = H.at[15 * B :, 15 * B :].add(jnp.eye(6, dtype=dtype))
 
-    # landmark system: per-feature scalar Hessian + coupling row
-    n_obs = proj.fidx.shape[0]
-    h = jax.ops.segment_sum(jnp.sum(J_dep * J_dep, axis=-1), proj.fidx, num_segments=F)
-    Wrows = jnp.einsum("nr,nrd->nd", J_dep, J_proj.reshape(n_obs, 2, D))
+    # landmark system: per-feature scalar Hessian + coupling row (reduced).
+    # One one-hot matmul replaces three segment_sum scatters — scatters
+    # serialize on TPU; a (F x N)(N x Dr+2) matmul is MXU work.
+    Wrows = jnp.einsum("nr,nrd->nd", J_dep, J_proj)
     if not estimate_extrinsic:
-        Wrows = Wrows.at[:, 15 * B :].set(0.0)
-    W = jax.ops.segment_sum(Wrows, proj.fidx, num_segments=F)
-    b_l = jax.ops.segment_sum(-jnp.sum(J_dep * r_proj, axis=-1), proj.fidx, num_segments=F)
+        Wrows = Wrows.at[:, 6 * B :].set(0.0)
+    payload = jnp.concatenate(
+        [
+            jnp.sum(J_dep * J_dep, axis=-1, keepdims=True),
+            Wrows,
+            -jnp.sum(J_dep * r_proj, axis=-1, keepdims=True),
+        ],
+        axis=1,
+    )  # (N, 1 + Dr + 1)
+    oh_f = jax.nn.one_hot(proj.fidx, F, dtype=dtype)  # (N, F)
+    agg = oh_f.T @ payload  # (F, Dr + 2)
+    h = agg[:, 0]
+    W = agg[:, 1 : 1 + Dr]
+    b_l = agg[:, 1 + Dr]
 
     cost = c_imu + c_proj + c_prior
     return H, b, h, W, b_l, cost
@@ -418,8 +459,12 @@ def solve_window(
     init_lambda: float = 1e-4,
 ):
     """Levenberg–Marquardt with landmark Schur elimination; branchless
-    accept/reject in a fori_loop. Returns (state, final_cost)."""
-    D = dims.D
+    accept/reject in a while_loop with a convergence early-out (the
+    reference caps the solve at 8 ms / 10 iters, estimator.cpp:1124–1125 —
+    easy frames converge in 3-5 iterations and the remaining budget is free
+    latency). Returns (state, final_cost)."""
+    B, D = dims.B, dims.D
+    Dr = 6 * B + 6
     dtype = state.P.dtype
 
     # One factor evaluation per LM iteration: the normal equations built at
@@ -431,19 +476,32 @@ def solve_window(
             st, imu, proj, priors, G, pixel_sqrt_info, dims, estimate_extrinsic
         )
 
-    def body(_, carry):
-        st, ne, lam = carry
+    def cond(carry):
+        i, done, *_ = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        i, done, st, ne, lam = carry
         H, b, h, W, b_l, cost0 = ne
         h_d = h * (1.0 + lam)
         h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
-        Winv_h = W / h_safe[:, None]
-        H_s = H - W.T @ Winv_h
-        b_s = b - W.T @ (b_l / h_safe)
+        # W is (F, Dr) in the reduced [pose | ex] layout; its Schur
+        # correction touches only those rows/cols of the full system
+        C = W.T @ (W / h_safe[:, None])  # (Dr, Dr)
+        H_s = H
+        H_s = H_s.at[: 6 * B, : 6 * B].add(-C[: 6 * B, : 6 * B])
+        H_s = H_s.at[: 6 * B, 15 * B :].add(-C[: 6 * B, 6 * B :])
+        H_s = H_s.at[15 * B :, : 6 * B].add(-C[6 * B :, : 6 * B])
+        H_s = H_s.at[15 * B :, 15 * B :].add(-C[6 * B :, 6 * B :])
+        c_b = W.T @ (b_l / h_safe)  # (Dr,)
+        b_s = b.at[: 6 * B].add(-c_b[: 6 * B])
+        b_s = b_s.at[15 * B :].add(-c_b[6 * B :])
         diagH = jnp.clip(jnp.diag(H), 1e-8, None)
         H_d = H_s + jnp.diag(lam * diagH)
         L = jnp.linalg.cholesky(H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype))
         dx = jax.scipy.linalg.cho_solve((L, True), b_s)
-        dl = (b_l - W @ dx) / h_safe
+        dx_r = jnp.concatenate([dx[: 6 * B], dx[15 * B :]])
+        dl = (b_l - W @ dx_r) / h_safe
         trial = retract_state(st, dx, dl, dims)
         ne_trial = build(trial)
         cost1 = ne_trial[-1]
@@ -455,9 +513,14 @@ def solve_window(
             lambda a, bb: jnp.where(ok, bb, a), ne, ne_trial
         )
         new_lam = jnp.where(ok, jnp.maximum(lam * 0.4, 1e-9), jnp.minimum(lam * 8.0, 1e6))
-        return new_state, new_ne, new_lam
+        # early-out: an accepted step with negligible relative decrease means
+        # the iterate is converged (Ceres function_tolerance semantics)
+        converged = ok & (cost0 - cost1 < 1e-6 * jnp.maximum(cost0, 1e-30))
+        return i + 1, converged, new_state, new_ne, new_lam
 
     lam0 = jnp.asarray(init_lambda, dtype)
     ne0 = build(state)
-    state, ne, lam = jax.lax.fori_loop(0, iters, body, (state, ne0, lam0))
+    _, _, state, ne, lam = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), jnp.asarray(False), state, ne0, lam0)
+    )
     return state, ne[-1]
