@@ -22,6 +22,7 @@ consistency (documented per-site):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -46,6 +47,7 @@ from ..geom import (
     quat_to_mat,
     ypr_to_mat,
 )
+from ..initial.ex_rotation import ExtrinsicRotationCalibrator
 from ..solver import (
     ImuFactors,
     PriorState,
@@ -62,6 +64,8 @@ from .marginalization import (
     marg_backward,
     marg_forward,
 )
+
+_log = logging.getLogger(__name__)
 
 INITIAL = 0
 NON_LINEAR = 2
@@ -96,6 +100,20 @@ class Estimator:
         self.G = np.asarray(cfg.gravity)
         self.min_parallax = cfg.solver.min_parallax_px / cfg.noise.pixel_sqrt_info
 
+        # online extrinsic calibration mode (estimator.cpp:139–153): 2 = run
+        # the hand-eye calibrator until confident, then drop to 1 = refine the
+        # extrinsic block in the window solver; 0 = fixed. The runtime mode
+        # and the calibrated rotation persist across failure resets (the
+        # reference stores the promotion in the RIC global, which
+        # clearState/setParameter re-install).
+        self.estimate_extrinsic = int(cfg.estimate_extrinsic)
+        self._calib_ric: Optional[np.ndarray] = None
+        self.ex_calibrator = (
+            ExtrinsicRotationCalibrator(vo_size=self.dims.Vo)
+            if self.estimate_extrinsic == 2
+            else None
+        )
+
         self.f_manager = FeatureManager(
             self.dims.F, B, self.dims.Vo, self.min_parallax, cfg.solver.init_depth
         )
@@ -121,7 +139,8 @@ class Estimator:
         self.Bgs = np.zeros((B, 3))
         self.Headers = np.zeros(B)
         self.tic = np.asarray(self.cfg.tic_np)
-        self.qic = np.asarray(mat_to_quat(jnp.asarray(self.cfg.ric_np)))
+        ric = self._calib_ric if self._calib_ric is not None else self.cfg.ric_np
+        self.qic = np.asarray(mat_to_quat(jnp.asarray(np.asarray(ric))))
 
         self.imu_dt = np.zeros((B, C))
         self.imu_acc = np.zeros((B, C, 3))
@@ -136,6 +155,7 @@ class Estimator:
         self.gyr_0 = np.zeros(3)
         self.solver_flag = INITIAL
         self.marginalization_flag = MARGIN_OLD
+        self.initial_timestamp = -1e18
         self.priors: Optional[PriorState] = None
         self.failure_count = 0
 
@@ -194,6 +214,31 @@ class Estimator:
         self.acc_0 = acc
         self.gyr_0 = gyr
 
+    def _segment_delta_q(self, j: int) -> np.ndarray:
+        """Gyro-only midpoint preintegrated rotation of frame segment j at the
+        current bias estimate (pre_integrations[frame_count]->delta_q). Pure
+        numpy: the segment is ≤ C samples and this runs on the host path."""
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        n = int(self.imu_cnt[j])
+        g_prev = self.imu_gyr0[j]
+        bg = self.Bgs[j]
+        for k in range(n):
+            dt = self.imu_dt[j, k]
+            g = self.imu_gyr[j, k]
+            phi = (0.5 * (g_prev + g) - bg) * dt
+            dq = np.concatenate([[1.0], 0.5 * phi])
+            w0, x0, y0, z0 = q
+            w1, x1, y1, z1 = dq
+            q = np.array([
+                w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+                w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+                w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+                w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
+            ])
+            q /= np.linalg.norm(q)
+            g_prev = g
+        return q
+
     # ------------------------------------------------------------------ image
     def process_image(self, feat_ids, pts, t: float, vels=None) -> dict:
         """One frame step (reference estimator.cpp:126–211). Returns a dict of
@@ -203,10 +248,32 @@ class Estimator:
         self.Headers[self.frame_count] = t
         info = {"keyframe": keyframe, "solved": False}
 
+        # online extrinsic rotation calibration (estimator.cpp:139–153): feed
+        # consecutive-frame correspondences + the gyro-preintegrated rotation
+        # to the hand-eye calibrator; on confidence, install ric and drop to
+        # refinement mode (the solver's extrinsic block takes over).
+        if self.estimate_extrinsic == 2 and self.frame_count != 0:
+            ci, cj = self.f_manager.get_corresponding(
+                self.frame_count - 1, self.frame_count
+            )
+            if len(ci) >= 9:
+                dq = self._segment_delta_q(self.frame_count)
+                ric = self.ex_calibrator.push(ci[:, :2], cj[:, :2], dq)
+                if ric is not None:
+                    self._calib_ric = ric
+                    self.qic = np.asarray(mat_to_quat(jnp.asarray(ric)))
+                    self.estimate_extrinsic = 1
+                    info["extrinsic_calibrated"] = True
+
         B = self.dims.B
         if self.solver_flag == INITIAL:
             if self.frame_count == B - 1:
-                ok = self.initial_structure()
+                # init only once the extrinsic is at least coarsely known and
+                # with a 0.1 s retry throttle (estimator.cpp:160–165)
+                ok = False
+                if self.estimate_extrinsic != 2 and (t - self.initial_timestamp) > 0.1:
+                    ok = self.initial_structure()
+                    self.initial_timestamp = t
                 info["init"] = ok
                 if ok:
                     self.solver_flag = NON_LINEAR
@@ -303,7 +370,7 @@ class Estimator:
         new_state, cost = solve_window(
             state, imu_f, proj, priors, G, psi, self.dims,
             iters=iters,
-            estimate_extrinsic=bool(self.cfg.estimate_extrinsic),
+            estimate_extrinsic=bool(self.estimate_extrinsic),
         )
 
         # double2vector: yaw/position gauge re-anchoring (:518–594)
@@ -314,7 +381,7 @@ class Estimator:
         self.Vs = np.array(new_state.V)
         self.Bas = np.array(new_state.Ba)
         self.Bgs = np.array(new_state.Bg)
-        if self.cfg.estimate_extrinsic:
+        if self.estimate_extrinsic:
             self.tic = np.array(new_state.tic)
             self.qic = np.array(new_state.qic)
         self.f_manager.set_depths(np.asarray(new_state.dep))
@@ -435,10 +502,31 @@ class Estimator:
         mp_j = np.tile([[0, 0, 1.0]], (L, 1))
         mf = np.zeros(L, np.int32)
         mv = np.zeros(L, bool)
-        n = min(len(pf["marg_fidx"]), L)
-        mp_i[:n] = pf["marg_pts_i"][:n]
-        mp_j[:n] = pf["marg_pts_j"][:n]
-        mf[:n] = pf["marg_fidx"][:n]
+        n_all = len(pf["marg_fidx"])
+        if n_all > L:
+            # keep the top-L most informative factors: for inverse-depth
+            # reprojection the position information scales with the observed
+            # parallax between host and observing frame, so rank by
+            # image-plane displacement (the reference marginalizes all
+            # frame-0 factors; we cap the device shape but keep the factors
+            # that carry the constraint mass, and say so)
+            score = np.linalg.norm(
+                np.asarray(pf["marg_pts_i"])[:, :2] - np.asarray(pf["marg_pts_j"])[:, :2],
+                axis=1,
+            )
+            keep = np.argsort(-score)[:L]
+            keep.sort()  # preserve original factor order
+            _log.warning(
+                "marg_forward factor cap: %d observations > L=%d; keeping the "
+                "top-%d by parallax (min kept score %.4f)",
+                n_all, L, L, float(score[keep].min()),
+            )
+        else:
+            keep = np.arange(n_all)
+        n = len(keep)
+        mp_i[:n] = pf["marg_pts_i"][keep]
+        mp_j[:n] = pf["marg_pts_j"][keep]
+        mf[:n] = pf["marg_fidx"][keep]
         mv[:n] = True
 
         t1, q1, sq1, packet, kld_f = marg_forward(

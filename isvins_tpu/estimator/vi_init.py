@@ -62,7 +62,9 @@ def _gyro_rotation_prior(est, i):
     for j in range(i, B - 1):
         q = quat_normalize(quat_mul(q, jnp.asarray(dq[j])))
     R_body = np.asarray(quat_to_mat(q))
-    RIC = np.asarray(est.cfg.ric_np)
+    # live extrinsic (est.qic), not cfg: online calibration (mode 2) may have
+    # installed a better rotation than the config guess (estimator.cpp:146)
+    RIC = np.asarray(quat_to_mat(jnp.asarray(est.qic)))
     return RIC.T @ R_body @ RIC
 
 
@@ -266,8 +268,11 @@ def run_visual_inertial_init(est) -> bool:
         return False
 
     B = est.dims.B
-    RIC = np.asarray(est.cfg.ric_np)
-    TIC = np.asarray(est.cfg.tic_np)
+    # live extrinsic, possibly just produced by the online hand-eye
+    # calibrator this very frame (reference visualInitialAlign reads the
+    # RIC global that CalibrationExRotation updates, estimator.cpp:146)
+    RIC = np.asarray(quat_to_mat(jnp.asarray(est.qic)))
+    TIC = np.asarray(est.tic)
     R_cam = np.asarray(quat_to_mat(jnp.asarray(q_wc)))  # cam-to-c0
     R_body = np.einsum("bij,kj->bik", R_cam, RIC)  # R_cam @ RIC^T
     T_cam = t_wc

@@ -54,6 +54,7 @@ class ExtrinsicRotationCalibrator:
         self.Rc: List[np.ndarray] = []
         self.Rimu: List[np.ndarray] = []
         self.ric = np.eye(3)
+        self.last_S = np.zeros(4)  # singular values of the last stacked solve
 
     def push(self, corres_i, corres_j, delta_q_imu) -> Optional[np.ndarray]:
         """corres_*: (n, 2|3) normalized correspondences between consecutive
@@ -85,6 +86,7 @@ class ExtrinsicRotationCalibrator:
             A[4 * i : 4 * i + 4] = huber * (L - R)
 
         _, S, Vt = np.linalg.svd(A)
+        self.last_S = S
         x = Vt[-1]  # (x,y,z,w) layout
         q_ic = np.array([x[3], x[0], x[1], x[2]])
         self.ric = np.asarray(quat_to_mat(jnp.asarray(q_ic))).T

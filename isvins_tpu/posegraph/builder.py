@@ -14,6 +14,7 @@ incoming stream.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Optional
 
@@ -139,6 +140,12 @@ class PoseGraphBuilder:
         if a.image is not None and kf_pts is not None and len(kf_pts.points_w) > 0:
             img = jnp.asarray(a.image, jnp.float32)
             n_w = min(len(kf_pts.points_w), P)
+            if len(kf_pts.points_w) > P:
+                logging.getLogger(__name__).warning(
+                    "keyframe window-point cap: %d points > P=%d; "
+                    "dropping %d", len(kf_pts.points_w), P,
+                    len(kf_pts.points_w) - P,
+                )
             norm = kf_pts.pts_norm[:n_w]
             if self.camera is not None:
                 pts3 = np.concatenate([norm, np.ones((n_w, 1))], axis=1)

@@ -41,12 +41,13 @@ def _traj(t, r=5.0, w=0.4, h=0.6, w2=0.9):
     return p
 
 
-def _traj_quat(t, w=0.4):
+def _traj_quat(t, w=0.4, wobble=(0.12, 0.1)):
     """Body x points radially outward (at the landmark ring); small pitch/roll
-    wobble for IMU excitation."""
+    wobble for IMU excitation. Larger `wobble` amplitudes give the 3-axis
+    rotational excitation hand-eye extrinsic calibration needs."""
     yaw = w * t
-    pitch = 0.12 * np.sin(0.7 * t)
-    roll = 0.1 * np.cos(1.1 * t)
+    pitch = wobble[0] * np.sin(0.7 * t)
+    roll = wobble[1] * np.cos(1.1 * t)
     # R = Rz(yaw) Ry(pitch) Rx(roll)
     qz = np.stack([np.cos(yaw / 2), 0 * t, 0 * t, np.sin(yaw / 2)], axis=-1)
     qy = np.stack([np.cos(pitch / 2), 0 * t, np.sin(pitch / 2), 0 * t], axis=-1)
@@ -70,6 +71,7 @@ def make_world(
     seed: int = 0,
     traj_r: float = 5.0,
     traj_w: float = 0.4,
+    wobble=(0.12, 0.1),
     lm_rad=(6.5, 12.0),
     lm_z=(-2.0, 3.0),
 ) -> SynthWorld:
@@ -84,7 +86,7 @@ def make_world(
         return _traj(np.atleast_1d(t), r=traj_r, w=traj_w)
 
     def quat(t):
-        return _traj_quat(np.atleast_1d(t), w=traj_w)
+        return _traj_quat(np.atleast_1d(t), w=traj_w, wobble=wobble)
 
     def vel(t):
         return (pos(t + eps) - pos(t - eps)) / (2 * eps)
