@@ -148,6 +148,10 @@ class Estimator:
         self.imu_acc0 = np.zeros((B, 3))
         self.imu_gyr0 = np.zeros((B, 3))
         self.imu_cnt = np.zeros(B, dtype=np.int32)
+        # segment received more samples than capacity C (e.g. IMU kept
+        # streaming across a >1 s camera gap): its preintegration would be
+        # silently wrong, so the segment is excluded from the IMU factor
+        self.imu_overflow = np.zeros(B, dtype=bool)
 
         self.frame_count = 0
         self.first_imu = True
@@ -192,6 +196,13 @@ class Estimator:
                 self.imu_acc[j, k] = acc
                 self.imu_gyr[j, k] = gyr
                 self.imu_cnt[j] += 1
+            else:
+                if not self.imu_overflow[j]:
+                    _log.warning(
+                        "IMU segment %d overflowed capacity C=%d; the segment "
+                        "is excluded from the IMU factor", j, self.C,
+                    )
+                self.imu_overflow[j] = True
 
             # midpoint propagation of the newest state (numpy, tiny)
             R = np.asarray(quat_to_mat(jnp.asarray(self.Qs[j])))
@@ -340,7 +351,11 @@ class Estimator:
             jnp.asarray(self.Bas[:-1]),
             jnp.asarray(self.Bgs[:-1]),
         )
-        valid = (self.imu_cnt[1:] > 0) & (np.asarray(pre.sum_dt) < 10.0)
+        valid = (
+            (self.imu_cnt[1:] > 0)
+            & (np.asarray(pre.sum_dt) < 10.0)
+            & ~self.imu_overflow[1:]
+        )
         return ImuFactors.create(pre=pre, valid=jnp.asarray(valid))
 
     def _solve_once(self, priors: PriorState, iters: int):
@@ -598,10 +613,12 @@ class Estimator:
                 for arr in (
                     self.imu_dt, self.imu_acc, self.imu_gyr,
                     self.imu_acc0, self.imu_gyr0, self.imu_cnt,
+                    self.imu_overflow,
                 ):
                     arr[:-1] = arr[1:]
                 self.imu_cnt[B - 1] = 0
                 self.imu_dt[B - 1] = 0
+                self.imu_overflow[B - 1] = False
                 self.imu_acc0[B - 1] = self.acc_0
                 self.imu_gyr0[B - 1] = self.gyr_0
 
@@ -630,11 +647,19 @@ class Estimator:
                 self.imu_acc[j - 1, n_prev : n_prev + take] = self.imu_acc[j, :take]
                 self.imu_gyr[j - 1, n_prev : n_prev + take] = self.imu_gyr[j, :take]
                 self.imu_cnt[j - 1] += take
+                if take < n_new or self.imu_overflow[j]:
+                    if not self.imu_overflow[j - 1]:
+                        _log.warning(
+                            "IMU merge overflow at segment %d; the merged "
+                            "segment is excluded from the IMU factor", j - 1,
+                        )
+                    self.imu_overflow[j - 1] = True
 
                 for arr in (self.Ps, self.Qs, self.Vs, self.Bas, self.Bgs, self.Headers):
                     arr[j - 1] = arr[j]
                 self.imu_cnt[j] = 0
                 self.imu_dt[j] = 0
+                self.imu_overflow[j] = False
                 self.imu_acc0[j] = self.acc_0
                 self.imu_gyr0[j] = self.gyr_0
                 self.f_manager.remove_front(self.frame_count)

@@ -46,6 +46,18 @@ class FeatureTracker:
 
         self._detect = jax.jit(self._detect_impl, static_argnames=("k",))
 
+    def reset(self):
+        """Drop all LK state after a stream discontinuity (System.cpp:72–79:
+        'image discontinue! reset the feature tracker!'). Track ids keep
+        counting up so the estimator never sees a stale id reused."""
+        self.pts[:] = 0.0
+        self.ids[:] = -1
+        self.track_cnt[:] = 0
+        self.valid[:] = False
+        self.prev_un[:] = 0.0
+        self.prev_img = None
+        self.prev_time = None
+
     # ------------------------------------------------------------- pipeline
     def read_image(self, img: np.ndarray, t: float):
         """img: (H,W) uint8/float. Returns dict with ids, normalized points,

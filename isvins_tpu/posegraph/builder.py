@@ -74,6 +74,30 @@ class PoseGraphBuilder:
         self.pending_optimize = []
         self.n_loops = 0
 
+        # multi-sequence state (pose_graph_builder.h:70, pose_graph.cpp:33–48,
+        # 84–105): live sequences start at 1 (0 is reserved for a loaded map);
+        # each sequence's VIO poses are shifted into the common world by
+        # (w_r_vio, w_t_vio), which is identity until the sequence's first
+        # inter-sequence loop closure fixes the alignment (once per sequence)
+        self.sequence = 1
+        self.sequence_loop = {0: True, 1: False}
+        self.w_r_vio = np.eye(3)
+        self.w_t_vio = np.zeros(3)
+        self._db_seq_cnt = 1  # sequence of the last added keyframe
+        self.n_sequence_aligns = 0
+
+    def new_sequence(self):
+        """Stream discontinuity: start a new pose-graph sequence
+        (pose_graph_builder.cpp:3–19). The partially accumulated edge is
+        discarded (the reference clears its factor queues); the sequence
+        counter is unbounded (the reference warns above 5)."""
+        self.sequence += 1
+        self.sequence_loop[self.sequence] = False
+        self.accum = _Accum.identity()
+        logging.getLogger(__name__).info(
+            "pose graph: new sequence %d", self.sequence
+        )
+
     # ----------------------------------------------------------- accumulate
     def push(self, packet: PoseGraphPacket, kf_points, image=None) -> Optional[int]:
         """Feed one marginalization packet (+ the keyframe's exported points
@@ -110,6 +134,28 @@ class PoseGraphBuilder:
         db = self.db
         i = db.n
 
+        # first keyframe of a new sequence: reset the world alignment and the
+        # drift — the new sequence starts in its own VIO frame until an
+        # inter-sequence loop closure aligns it (pose_graph.cpp:33–43)
+        if self.sequence != self._db_seq_cnt:
+            self._db_seq_cnt = self.sequence
+            self.w_r_vio = np.eye(3)
+            self.w_t_vio = np.zeros(3)
+            self.r_drift = np.eye(3)
+            self.t_drift = np.zeros(3)
+
+        # shift the incoming VIO anchor into the common world
+        # (pose_graph.cpp:45–48: vio = w_r_vio * vio + w_t_vio)
+        anchor_t = self.w_r_vio @ np.asarray(a.anchor_t) + self.w_t_vio
+        anchor_q = np.asarray(
+            quat_normalize(
+                quat_mul(
+                    jnp.asarray(mat_to_quat(jnp.asarray(self.w_r_vio))),
+                    jnp.asarray(a.anchor_q),
+                )
+            )
+        )
+
         # retro-update previous keyframe's edge to the actual new anchor
         # (pose_graph_builder.cpp:192–199), then install it
         if self.last_kf is not None:
@@ -122,7 +168,7 @@ class PoseGraphBuilder:
                 jnp.asarray(db.edge_dt[j]), jnp.asarray(db.edge_dq[j]),
                 jnp.asarray(db.vio_t[j]), jnp.asarray(db.vio_q[j]),
                 tj_pred, qj_pred,
-                jnp.asarray(a.anchor_t), jnp.asarray(a.anchor_q),
+                jnp.asarray(anchor_t), jnp.asarray(anchor_q),
             )
             db.edge_dt[j] = np.asarray(dt_new)
             db.edge_dq[j] = np.asarray(dq_new)
@@ -182,14 +228,15 @@ class PoseGraphBuilder:
 
         idx = db.add(
             ts=a.ts,
-            vio_t=a.anchor_t,
-            vio_q=a.anchor_q,
-            opt_t=self.r_drift @ a.anchor_t + self.t_drift,
+            seq=self.sequence,
+            vio_t=anchor_t,
+            vio_q=anchor_q,
+            opt_t=self.r_drift @ anchor_t + self.t_drift,
             opt_q=np.asarray(
                 quat_normalize(
                     quat_mul(
                         jnp.asarray(mat_to_quat(jnp.asarray(self.r_drift))),
-                        jnp.asarray(a.anchor_q),
+                        jnp.asarray(anchor_q),
                     )
                 )
             ),
@@ -230,6 +277,15 @@ class PoseGraphBuilder:
             old = self.db.query(idx, self.pg.skip_recent, self.pg.top_k)
             if old >= 0 and self._find_connection(idx, old):
                 self.n_loops += 1
+                # inter-sequence loop: align the current sequence's VIO frame
+                # onto the old world, once per sequence (pose_graph.cpp:84–105)
+                seq_cur = int(db.seq[idx])
+                if int(db.seq[old]) != seq_cur and not self.sequence_loop.get(
+                    seq_cur, False
+                ):
+                    self._align_sequence(idx, old)
+                    self.sequence_loop[seq_cur] = True
+                    self.n_sequence_aligns += 1
                 if self.earliest_loop < 0 or self.db.loop_idx[idx] < self.earliest_loop:
                     self.earliest_loop = int(self.db.loop_idx[idx])
                 r_d, t_d, _ = optimize_pose_graph(self.db, self.earliest_loop, idx)
@@ -241,6 +297,40 @@ class PoseGraphBuilder:
         return idx
 
     # --------------------------------------------------------------- loops
+    def _align_sequence(self, cur: int, old: int):
+        """First loop between the current sequence and an earlier one:
+        compute the world shift (w_r_vio, w_t_vio) that places the current
+        keyframe where the loop measurement says it is in the old world, and
+        apply it to the current sequence's keyframes (pose_graph.cpp:84–105;
+        the fork shifts every keyframe with index > loop_index, which would
+        also displace the tail of OLDER sequences — we keep the loop comment's
+        stated intent, "shift vio pose of whole sequence", i.e. VINS-Mono
+        upstream's same-sequence filter). Later keyframes of this sequence
+        arrive pre-shifted via the push-time alignment."""
+        db = self.db
+        R_old = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[old])))
+        # loop measurement: cur pose expressed in old's frame (tlc / Rlc)
+        w_P_cur = R_old @ db.loop_dt[cur] + db.vio_t[old]
+        w_R_cur = R_old @ np.asarray(quat_to_mat(jnp.asarray(db.loop_dq[cur])))
+        R_vio_cur = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
+        shift_r = w_R_cur @ R_vio_cur.T
+        shift_t = w_P_cur - shift_r @ db.vio_t[cur]
+        self.w_r_vio = shift_r
+        self.w_t_vio = shift_t
+        q_shift = jnp.asarray(mat_to_quat(jnp.asarray(shift_r)))
+        seq_cur = int(db.seq[cur])
+        for k in range(db.n):
+            if int(db.seq[k]) != seq_cur:
+                continue
+            db.vio_t[k] = shift_r @ db.vio_t[k] + shift_t
+            db.vio_q[k] = np.asarray(
+                quat_normalize(quat_mul(q_shift, jnp.asarray(db.vio_q[k])))
+            )
+        logging.getLogger(__name__).info(
+            "pose graph: sequence %d aligned onto sequence %d via loop %d->%d",
+            int(db.seq[cur]), int(db.seq[old]), cur, old,
+        )
+
     def _find_connection(self, cur: int, old: int) -> bool:
         """keyframe.cpp findConnection (:232–282): Hamming match cur window
         descriptors vs old detected keypoints, PnP-RANSAC, gates."""

@@ -22,7 +22,10 @@ class KeyframeDB:
         self.n = 0
 
         self.ts = np.zeros(K)
-        self.seq = np.zeros(K, dtype=np.int32)
+        # sequence id; 0 is reserved for a loaded map whose poses are held
+        # constant in optimization (pose_graph.cpp:299–302) — live sequences
+        # start at 1
+        self.seq = np.ones(K, dtype=np.int32)
         # vio pose (drift-corrected stream pose) and optimized pose
         self.vio_t = np.zeros((K, 3))
         self.vio_q = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))

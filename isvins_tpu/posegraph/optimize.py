@@ -156,6 +156,9 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10):
     active[:n] = True
     fixed = np.zeros(K, bool)
     fixed[0] = True
+    # poses of a loaded map (sequence 0) are held constant, like the
+    # reference's `sequence == 0` gauge rule (pose_graph.cpp:299–302)
+    fixed[:n] |= db.seq[sl] == 0
 
     edge_dt = np.zeros((K, 3))
     edge_dq = np.tile(np.array([1.0, 0, 0, 0]), (K, 1))

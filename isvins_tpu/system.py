@@ -64,11 +64,18 @@ class System:
         if self.first_image_time is None:
             self.first_image_time = t
             self.last_image_time = t
-        # stream discontinuity (System.cpp:72–79)
+        # stream discontinuity (System.cpp:72–79): reset the LK tracker so a
+        # stale previous frame never seeds optical flow across the gap, and
+        # start a new pose-graph sequence (pose_graph_builder.cpp GrabImg →
+        # new_sequence); inter-sequence loop closure stitches them later
         if t - self.last_image_time > 1.0 or t < self.last_image_time:
             self.first_image_time = t
             self.pub_count = 0
             self.init_feature = True
+            self.tracker.reset()
+            self.feature_buf.clear()
+            if self.pgbuilder is not None:
+                self.pgbuilder.new_sequence()
         self.last_image_time = t
 
         # frequency control (System.cpp:82–95)

@@ -177,6 +177,142 @@ def test_builder_sequential_edges_consistent():
     assert db.edge_valid[db.n - 1]
 
 
+def test_builder_two_sequence_stitching():
+    """Stream discontinuity semantics (pose_graph_builder.cpp:3–19,
+    pose_graph.cpp:84–105): sequence 1 tours the full circle; after
+    new_sequence(), sequence 2 restarts in its OWN vio frame (yaw+translation
+    offset from the world) and revisits the start region. The first
+    inter-sequence loop must compute (w_r_vio, w_t_vio) and stitch sequence 2
+    onto sequence 1's world, leaving sequence 1 untouched."""
+    from isvins_tpu.estimator.marginalization import PoseGraphPacket
+    from isvins_tpu.estimator.estimator import KeyframePoints
+    from isvins_tpu.posegraph import PoseGraphBuilder
+    from isvins_tpu.geom import quat_to_mat
+
+    cfg = euroc_config().replace(
+        posegraph=PoseGraphConfig(
+            skip_recent=8, min_loop_matches=12, max_keyframes=64, max_kp_per_kf=256,
+        ),
+        tic=(0.0, 0.0, 0.0),
+        ric=((0.0, 0.0, 1.0), (-1.0, 0.0, 0.0), (0.0, -1.0, 0.0)),
+    )
+    H, W = 240, 320
+    f = 200.0
+    from isvins_tpu.config import CameraConfig
+    from isvins_tpu.frontend import PinholeRadtan
+
+    cam = PinholeRadtan.from_config(
+        CameraConfig(width=W, height=H, fx=f, fy=f, cx=W / 2, cy=H / 2,
+                     k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    )
+
+    rng = np.random.default_rng(2)
+    M = 500
+    th = rng.uniform(0, 2 * np.pi, M)
+    rad = rng.uniform(7.0, 12.0, M)
+    z = rng.uniform(-2.0, 2.5, M)
+    landmarks = np.stack([rad * np.cos(th), rad * np.sin(th), z], axis=1)
+    R_bc = np.asarray(cfg.ric_np)
+    base = _texture(H, W, 11) * 0.06
+    from scipy.ndimage import gaussian_filter
+    stamps = []
+    for m in range(M):
+        s_rng = np.random.default_rng(1000 + m)
+        s = gaussian_filter(s_rng.uniform(0, 1, size=(25, 25)), 0.8)
+        stamps.append((s - s.mean()) * 300.0)
+
+    def render_and_points(t_b, q_b, ts, T_world_from_vio=None):
+        """Render from the GT (world) pose; export keyframe points in the
+        sequence's own vio frame via p_vio = R_off @ p_w + t_off."""
+        Rb = np.asarray(quat_to_mat(jnp.asarray(q_b)))
+        Rc = Rb @ R_bc
+        pc = (Rc.T @ (landmarks - t_b).T).T
+        vis = pc[:, 2] > 1.0
+        uv = pc[:, :2] / pc[:, 2:3]
+        px = uv * f + np.array([W / 2, H / 2])
+        inb = vis & (px[:, 0] > 14) & (px[:, 0] < W - 14) & (px[:, 1] > 14) & (px[:, 1] < H - 14)
+        img = base.copy()
+        for m in np.where(inb)[0]:
+            cx, cy = int(round(px[m, 0])), int(round(px[m, 1]))
+            img[cy - 12 : cy + 13, cx - 12 : cx + 13] += stamps[m]
+        img = np.clip(img + 120.0, 0, 255)
+        rows = np.where(inb)[0][:200]
+        pts_w = landmarks[rows]
+        if T_world_from_vio is not None:
+            R_off, t_off = T_world_from_vio
+            pts_w = (R_off.T @ (pts_w - t_off).T).T
+        return img, KeyframePoints(ts=ts, points_w=pts_w, pts_norm=uv[rows], ids=rows)
+
+    def push_leg(builder, t_vio, q_vio, ts0, offset=None):
+        for k in range(len(t_vio) - 1):
+            qi = jnp.asarray(q_vio[k])
+            dt = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_vio[k + 1] - t_vio[k])))
+            dq = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_vio[k + 1]))))
+            pkt = PoseGraphPacket(
+                rel_dt=jnp.asarray(dt), rel_dq=jnp.asarray(dq),
+                cov_rel=jnp.eye(6) * 1e-4,
+                has_rollpitch=jnp.asarray(False), rp_q=jnp.asarray([1.0, 0, 0, 0]),
+                cov_abs=jnp.eye(2),
+                anchor_t=jnp.asarray(t_vio[k]), anchor_q=jnp.asarray(q_vio[k]),
+                ts=jnp.asarray(ts0 + float(k)),
+                distance=jnp.asarray(float(np.linalg.norm(dt))),
+            )
+            if offset is None:
+                t_w, q_w = t_vio[k], q_vio[k]
+            else:  # world pose = offset applied to the vio pose
+                R_off, t_off = offset
+                t_w = R_off @ t_vio[k] + t_off
+                q_w = np.asarray(quat_normalize(quat_mul(
+                    jnp.asarray(mat_to_quat(jnp.asarray(R_off))), jnp.asarray(q_vio[k]))))
+            img, kfp = render_and_points(t_w, q_w, ts0 + float(k), T_world_from_vio=offset)
+            builder.push(pkt, kfp, image=img)
+
+    builder = PoseGraphBuilder(cfg, camera=cam)
+
+    # sequence 1: drift-free full circle in the world frame
+    n1 = 21
+    ang1 = np.linspace(0, 2 * np.pi, n1)
+    t1 = np.stack([5 * np.cos(ang1), 5 * np.sin(ang1), 0 * ang1], axis=1)
+    q1 = np.stack([np.cos(ang1 / 2), 0 * ang1, 0 * ang1, np.sin(ang1 / 2)], axis=1)
+    push_leg(builder, t1, q1, ts0=0.0)
+    n_seq1 = builder.db.n
+    assert n_seq1 >= n1 - 2
+    seq1_vio_t = builder.db.vio_t[:n_seq1].copy()
+
+    # stream gap -> new sequence, restarting in its own vio frame: the world
+    # pose of sequence 2 is T_off ∘ vio pose
+    builder.new_sequence()
+    psi = 0.35
+    R_off = np.array([[np.cos(psi), -np.sin(psi), 0],
+                      [np.sin(psi), np.cos(psi), 0], [0, 0, 1]])
+    t_off = np.array([1.4, -0.9, 0.3])
+
+    n2 = 8
+    ang2 = np.linspace(0.05 * np.pi, 0.55 * np.pi, n2)
+    t2_w = np.stack([5 * np.cos(ang2), 5 * np.sin(ang2), 0 * ang2], axis=1)
+    q2_w = np.stack([np.cos(ang2 / 2), 0 * ang2, 0 * ang2, np.sin(ang2 / 2)], axis=1)
+    # vio frame of sequence 2: T_vio = T_off^{-1} ∘ T_world
+    t2_v = (R_off.T @ (t2_w - t_off).T).T
+    q_off_inv = jnp.asarray(mat_to_quat(jnp.asarray(R_off.T)))
+    q2_v = np.stack([
+        np.asarray(quat_normalize(quat_mul(q_off_inv, jnp.asarray(q)))) for q in q2_w
+    ])
+    push_leg(builder, t2_v, q2_v, ts0=100.0, offset=(R_off, t_off))
+
+    db = builder.db
+    assert builder.sequence == 2
+    assert int(db.seq[n_seq1]) == 2 and int(db.seq[0]) == 1
+    assert builder.n_loops >= 1, "no inter-sequence loop detected"
+    assert builder.n_sequence_aligns == 1
+    assert builder.sequence_loop[2] is True
+    # sequence 1 vio poses untouched by the alignment
+    np.testing.assert_allclose(db.vio_t[:n_seq1], seq1_vio_t, atol=1e-12)
+    # sequence 2 vio poses stitched onto the world (drift-free -> near GT)
+    n_total = db.n
+    err = np.linalg.norm(db.vio_t[n_seq1:n_total] - t2_w[: n_total - n_seq1], axis=1)
+    assert err.max() < 0.3, err
+
+
 def test_builder_loop_closure_pipeline():
     """Rendered revisit: keyframes around a circle; the final keyframes
     revisit the start. The builder must detect the loop, verify it with PnP,
