@@ -112,9 +112,11 @@ class PoseGraphConfig:
     max_yaw_deg: float = 30.0  # loop gate (keyframe.cpp:282)
     max_dist: float = 20.0
     optimize_poll_s: float = 2.0
-    max_keyframes: int = 4096  # static capacity of the keyframe database
+    max_keyframes: int = 4096  # initial keyframe-db capacity (grows 2x on demand)
     brief_bits: int = 256
     max_kp_per_kf: int = 512  # window pts + detected pts capacity
+    dist_min_poses: int = 512  # active segments >= this use the edge-sharded multi-device solve
+    max_active_poses: int = 4096  # clamp of the optimized segment (logged, oldest poses frozen)
 
 
 @dataclass(frozen=True)

@@ -55,9 +55,8 @@ def schur_reduce_pallas(H, b, W, h, b_l):
     h_safe = jnp.where(h > 1e-12, h, 1.0)
     hinv = jnp.zeros((Fp, Dp), dtype).at[:F, :].set((1.0 / h_safe)[:, None])
 
-    # NB: gridded pallas_call crashes this environment's Mosaic remote-compile
-    # toolchain, so the kernel runs ungridded on the whole (padded) system —
-    # at D=276, F=1000 everything fits VMEM comfortably (~2.5 MB).
+    # Ungridded whole-array invocation: at D=276, F=1000 everything fits VMEM
+    # comfortably (~2.5 MB), so grid tiling would only add program overhead.
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _kernel,
@@ -68,3 +67,51 @@ def schur_reduce_pallas(H, b, W, h, b_l):
     )(Hp, Wp, Wp, hinv)
     b_s = b - W.T @ (b_l / h_safe)
     return out[:D, :D], b_s
+
+
+def schur_corr_ref(W, h_safe, b_l):
+    """jnp reference/fallback for the fused LM-iteration Schur correction:
+    C = W^T diag(1/h) W  (Dr, Dr)  and  c_b = W^T (b_l / h)  (Dr,)."""
+    Wi = W / h_safe[:, None]
+    return W.T @ Wi, W.T @ (b_l / h_safe)
+
+
+def _corr_kernel(W_ref, hinv_ref, G_ref, out_ref):
+    """out = (W * hinv)^T @ [W | b_l-block]: one MXU pass produces both the
+    Schur coupling block C and the RHS correction c_b."""
+    Wh = W_ref[:] * hinv_ref[:]
+    out_ref[:] = jax.lax.dot_general(
+        Wh, G_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@jax.jit
+def schur_corr_pallas(W, h_safe, b_l):
+    """Fused Pallas version of `schur_corr_ref` for the solver's per-iteration
+    Schur correction (solver/window.py LM body). W (F, Dr) reduced-layout
+    coupling rows, h_safe (F,) damped landmark Hessians (already made safe),
+    b_l (F,) landmark RHS. Returns (C (Dr, Dr), c_b (Dr,))."""
+    F, Dr = W.shape
+    dtype = W.dtype
+    Fp = ((F + 7) // 8) * 8
+    Dp = ((Dr + 127) // 128) * 128
+
+    Wp = jnp.zeros((Fp, Dp), dtype).at[:F, :Dr].set(W)
+    # pad h with 1.0 so the padded rows (W=0) contribute nothing
+    hinv = jnp.ones((Fp, Dp), dtype).at[:F, :].set((1.0 / h_safe)[:, None])
+    # G = [W | b_l in column 0 of a 128-wide block]
+    G = jnp.zeros((Fp, Dp + 128), dtype)
+    G = G.at[:F, :Dr].set(W)
+    G = G.at[:F, Dp].set(b_l)
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _corr_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Dp, Dp + 128), dtype),
+        interpret=interpret,
+    )(Wp, hinv, G)
+    return out[:Dr, :Dr], out[:Dr, Dp]

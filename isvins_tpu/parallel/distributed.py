@@ -1,12 +1,16 @@
 """Distributed pose-graph Gauss-Newton over a device mesh.
 
 The scaling deliverable of SURVEY.md §2.3 / BASELINE configs[4]: the graph's
-edges (sequential VIO edges, roll-pitch edges, loop edges) are sharded across
-devices with `shard_map`; each device assembles the partial normal equations
-for its edge shard, the global (6K, 6K) system is reduced with `lax.psum`
-over the mesh (ICI collectives), and the replicated dense Cholesky solve +
-state update run identically on every device. Gauss-Newton iterations stay
-entirely on-device inside one jitted program — the host only launches it.
+edges (sequential VIO edges, roll-pitch edges, Huber-weighted loop edges) are
+sharded across devices with `shard_map`; each device assembles the partial
+normal equations for its edge shard, the global (6K, 6K) system is reduced
+with `lax.psum` over the mesh (ICI collectives), and the replicated dense
+Cholesky solve + state update run identically on every device. Gauss-Newton
+iterations stay entirely on-device inside one jitted program — the host only
+launches it. With `with_cov=True` the per-pose 6x6 covariance blocks of the
+dense inverse are returned too (ceres::Covariance replacement,
+pose_graph.cpp:345–351), so this path is a drop-in for the single-device
+dense solve in `posegraph/optimize.py` above its size threshold.
 """
 
 from __future__ import annotations
@@ -23,8 +27,13 @@ from ..factors.priors import relpose_residual_jacobians, rollpitch_residual_jaco
 from ..geom import quat_mul, quat_normalize, so3_exp_quat
 
 
+def _huber_weight(r_norm_sq, delta: float):
+    r = jnp.sqrt(jnp.maximum(r_norm_sq, 1e-18))
+    return jnp.sqrt(jnp.where(r <= delta, 1.0, delta / r))
+
+
 def _edge_rows(tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype):
-    """Relative-pose edges (generic: sequential or loop) -> local H, b."""
+    """Relative-pose edges with full 6x6 sqrt-info -> local H, b, cost."""
     D = 6 * K
 
     def one(k):
@@ -43,6 +52,33 @@ def _edge_rows(tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype):
         Jb.shape[0], Jb.shape[1], D
     )
     J = expand(Ji, oh(e_i)) + expand(Jj, oh(e_j))
+    Jf = J.reshape(-1, D)
+    rf = r.reshape(-1)
+    return Jf.T @ Jf, -(Jf.T @ rf), 0.5 * jnp.sum(rf * rf)
+
+
+def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta):
+    """Loop edges: sqrt_info = sqrt(loop_weight) I with Huber(delta) IRLS
+    weights (pose_graph.cpp:334–339)."""
+    D = 6 * K
+
+    def one(k):
+        i, j = l_i[k], l_j[k]
+        r, Ji, Jj = relpose_residual_jacobians(
+            l_dt[k], l_dq[k], tt[i], qq[i], tt[j], qq[j]
+        )
+        s = jnp.sqrt(jnp.maximum(l_w[k], 0.0))
+        hw = _huber_weight(jnp.sum((s * r) ** 2), delta)
+        m = l_valid[k].astype(dtype) * hw * s
+        return r * m, Ji * m, Jj * m
+
+    ks = jnp.arange(l_i.shape[0])
+    r, Ji, Jj = jax.vmap(one)(ks)
+    oh = lambda idx: jax.nn.one_hot(idx, K, dtype=dtype)
+    expand = lambda Jb, o: jnp.einsum("nrk,nb->nrbk", Jb, o).reshape(
+        Jb.shape[0], Jb.shape[1], D
+    )
+    J = expand(Ji, oh(l_i)) + expand(Jj, oh(l_j))
     Jf = J.reshape(-1, D)
     rf = r.reshape(-1)
     return Jf.T @ Jf, -(Jf.T @ rf), 0.5 * jnp.sum(rf * rf)
@@ -71,15 +107,29 @@ def distributed_pose_graph_solve(
     t, q, active, fixed,  # (K,3), (K,4), (K,), (K,) — replicated
     e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,  # (E,...) sharded over mesh
     rp_i, rp_q, rp_sqrt, rp_valid,  # (Krp,...) sharded
+    loop_i=None, loop_j=None, loop_dt=None, loop_dq=None,
+    loop_w=None, loop_valid=None,  # (L,...) sharded, Huber-weighted
     iters: int = 10,
+    with_cov: bool = False,
+    huber_delta: float = 0.1,
 ):
     """Run GN with edge-sharded Hessian assembly + psum reduction.
-    E and Krp must be divisible by the mesh size (pad with invalid edges).
-    Returns (t_opt, q_opt, cost)."""
+    E, Krp, L must be divisible by the mesh size (pad with invalid edges).
+    Returns (t_opt, q_opt, cost) or (t_opt, q_opt, cov_blocks, cost)."""
     axis = mesh.axis_names[0]
+    nd = mesh.devices.size
     K = t.shape[0]
     D = 6 * K
     dtype = t.dtype
+
+    if loop_i is None:
+        L = nd
+        loop_i = jnp.zeros(L, jnp.int32)
+        loop_j = jnp.zeros(L, jnp.int32)
+        loop_dt = jnp.zeros((L, 3), dtype)
+        loop_dq = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (L, 1))
+        loop_w = jnp.zeros(L, dtype)
+        loop_valid = jnp.zeros(L, bool)
 
     @partial(
         shard_map,
@@ -88,11 +138,13 @@ def distributed_pose_graph_solve(
             P(), P(), P(), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
     )
     def run(t, q, active, fixed, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
-            rp_i, rp_q, rp_sqrt, rp_valid):
+            rp_i, rp_q, rp_sqrt, rp_valid,
+            loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid):
         colmask = jnp.repeat(~fixed & active, 6).astype(dtype)
 
         def build(tt, qq):
@@ -100,10 +152,14 @@ def distributed_pose_graph_solve(
                 tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype
             )
             H2, b2, c2 = _rp_rows(tt, qq, rp_i, rp_q, rp_sqrt, rp_valid, K, dtype)
+            H3, b3, c3 = _loop_rows(
+                tt, qq, loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid,
+                K, dtype, huber_delta,
+            )
             # reduce partial normal equations over the mesh (ICI collective)
-            H = jax.lax.psum(H1 + H2, axis)
-            b = jax.lax.psum(b1 + b2, axis)
-            c = jax.lax.psum(c1 + c2, axis)
+            H = jax.lax.psum(H1 + H2 + H3, axis)
+            b = jax.lax.psum(b1 + b2 + b3, axis)
+            c = jax.lax.psum(c1 + c2 + c3, axis)
             H = H * colmask[:, None] * colmask[None, :] + jnp.diag(1.0 - colmask)
             b = b * colmask
             return H, b, c
@@ -118,8 +174,23 @@ def distributed_pose_graph_solve(
             return tt + d[:, :3], quat_normalize(quat_mul(qq, so3_exp_quat(d[:, 3:])))
 
         t2, q2 = jax.lax.fori_loop(0, iters, step, (t, q))
-        _, _, cost = build(t2, q2)
-        return t2, q2, cost
+        H, _, cost = build(t2, q2)
+        if with_cov:
+            Hinv = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(H + 1e-8 * jnp.eye(D, dtype=dtype)), True),
+                jnp.eye(D, dtype=dtype),
+            )
+            covf = Hinv.reshape(K, 6, K, 6)
+            cov = jax.vmap(lambda k: covf[k, :, k, :])(jnp.arange(K))
+        else:
+            cov = jnp.zeros((K, 6, 6), dtype)
+        return t2, q2, cov, cost
 
-    return run(t, q, active, fixed, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
-               rp_i, rp_q, rp_sqrt, rp_valid)
+    t2, q2, cov, cost = run(
+        t, q, active, fixed, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
+        rp_i, rp_q, rp_sqrt, rp_valid,
+        loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid,
+    )
+    if with_cov:
+        return t2, q2, cov, cost
+    return t2, q2, cost

@@ -288,7 +288,11 @@ class PoseGraphBuilder:
                     self.n_sequence_aligns += 1
                 if self.earliest_loop < 0 or self.db.loop_idx[idx] < self.earliest_loop:
                     self.earliest_loop = int(self.db.loop_idx[idx])
-                r_d, t_d, _ = optimize_pose_graph(self.db, self.earliest_loop, idx)
+                r_d, t_d, _ = optimize_pose_graph(
+                    self.db, self.earliest_loop, idx,
+                    dist_min_poses=self.pg.dist_min_poses,
+                    max_active=self.pg.max_active_poses,
+                )
                 self.r_drift = r_d
                 self.t_drift = t_d
                 # re-apply drift to the newest pose (already written by optimize)

@@ -67,9 +67,30 @@ class KeyframeDB:
         self.ret_desc = np.zeros((K, self.R, 8), dtype=np.uint32)
         self.ret_valid = np.zeros((K, self.R), dtype=bool)
 
+    def _grow(self):
+        """Double the capacity of every per-keyframe SoA array (the reference
+        grows its `list<KeyFrame*>` unboundedly; we grow geometrically so
+        device shapes stay power-of-two bucketed)."""
+        K2 = self.K * 2
+        quat_fields = {"vio_q", "opt_q", "edge_dq", "rp_q", "loop_dq"}
+        for name, arr in list(vars(self).items()):
+            if not isinstance(arr, np.ndarray) or arr.ndim == 0 or arr.shape[0] != self.K:
+                continue
+            new = np.zeros((K2,) + arr.shape[1:], dtype=arr.dtype)
+            new[: self.K] = arr
+            if name in quat_fields:
+                new[self.K :, 0] = 1.0
+            elif name == "loop_idx":
+                new[self.K :] = -1
+            elif name == "seq":
+                new[self.K :] = 1
+            setattr(self, name, new)
+        self.K = K2
+
     def add(self, **kw) -> int:
+        if self.n >= self.K:
+            self._grow()
         i = self.n
-        assert i < self.K, "keyframe capacity exhausted"
         for k, v in kw.items():
             getattr(self, k)[i] = v
         rows = np.where(self.kp_valid[i])[0]
@@ -90,13 +111,32 @@ class KeyframeDB:
         hi = idx - skip_recent
         if hi <= 0:
             return -1
-        scores = np.asarray(
-            _retrieval_scores(
-                jnp.asarray(self.ret_desc[idx]), jnp.asarray(self.ret_valid[idx]),
-                jnp.asarray(self.ret_desc[:hi]), jnp.asarray(self.ret_valid[:hi]),
-                match_thresh,
-            )
-        )
+        # pow-2 capacity bucket so the jitted scoring program compiles once
+        # per bucket instead of once per keyframe; rows in [hi, Kb) are
+        # masked out (too recent / unwritten)
+        Kb = 128
+        while Kb < hi:
+            Kb *= 2
+        Kb = min(Kb, self.K)
+        dbv = self.ret_valid[:Kb] & (np.arange(Kb) < hi)[:, None]
+        if jax.default_backend() == "tpu":
+            from ..ops.hamming_pallas import retrieval_scores_pallas
+
+            scores = np.asarray(
+                retrieval_scores_pallas(
+                    jnp.asarray(self.ret_desc[idx]), jnp.asarray(self.ret_valid[idx]),
+                    jnp.asarray(self.ret_desc[:Kb]), jnp.asarray(dbv),
+                    thresh=match_thresh,
+                )
+            )[:hi]
+        else:
+            scores = np.asarray(
+                _retrieval_scores(
+                    jnp.asarray(self.ret_desc[idx]), jnp.asarray(self.ret_valid[idx]),
+                    jnp.asarray(self.ret_desc[:Kb]), jnp.asarray(dbv),
+                    match_thresh,
+                )
+            )[:hi]
         k = min(top_k, hi)
         order = np.argsort(-scores)[:k]
         if scores[order[0]] < abs_frac:

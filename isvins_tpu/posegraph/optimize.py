@@ -134,17 +134,35 @@ def _next_pow2(n):
     return k
 
 
-def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10):
+def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
+                        dist_min_poses: int = 512, max_active: int = 4096):
     """Optimize db poses [first_idx..cur_idx] in place (vio poses as initial
     values, first pose fixed), write optimized poses + covariances back, and
     return (r_drift (3,3), t_drift (3,), yaw_drift).
 
     Mirrors optimizeCS (pose_graph.cpp:234–409) including the post-solve
-    retro-update of sequential edge measurements and drift computation."""
+    retro-update of sequential edge measurements and drift computation.
+
+    Scaling: active segments with >= `dist_min_poses` poses are solved with
+    the edge-sharded multi-device path (`distributed_pose_graph_solve`) when
+    more than one device is available; segments longer than `max_active` are
+    clamped to the most recent `max_active` poses (explicitly logged — the
+    clamped head becomes the gauge; loops whose target falls before it are
+    excluded for this solve)."""
     from ..factors.priors import relpose_update
     from ..geom import mat_to_ypr, quat_to_mat
 
     n = cur_idx - first_idx + 1
+    if n > max_active:
+        import logging
+        logging.getLogger(__name__).warning(
+            "pose-graph active segment %d poses > max_active=%d; clamping to "
+            "the most recent %d (older poses keep their current optimized "
+            "values; loops ending before the clamp are excluded this solve)",
+            n, max_active, max_active,
+        )
+        first_idx = cur_idx - max_active + 1
+        n = max_active
     K = _next_pow2(n)
     sl = slice(first_idx, cur_idx + 1)
 
@@ -197,15 +215,44 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10):
         loop_w[li] = db.loop_weight[k]
         loop_valid[li] = True
 
-    t2, q2, cov, cost = _optimize_core(
-        jnp.asarray(t), jnp.asarray(q), jnp.asarray(active),
-        jnp.asarray(edge_dt), jnp.asarray(edge_dq), jnp.asarray(edge_sqrt),
-        jnp.asarray(edge_valid),
-        jnp.asarray(rp_q), jnp.asarray(rp_sqrt), jnp.asarray(rp_valid),
-        jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_dt),
-        jnp.asarray(loop_dq), jnp.asarray(loop_w), jnp.asarray(loop_valid),
-        jnp.asarray(fixed), K=K, L=L, iters=iters,
-    )
+    n_dev = len(jax.devices())
+    if n >= dist_min_poses and n_dev > 1:
+        # edge-sharded multi-device solve: each edge family is padded to K/L
+        # (powers of two, divisible by any pow2 mesh size)
+        from ..parallel import make_mesh
+        from ..parallel.distributed import distributed_pose_graph_solve
+
+        nd = 1 << (n_dev.bit_length() - 1)  # largest pow2 <= n_dev
+        nd = min(nd, L, 8)  # every padded edge family must shard evenly
+        mesh = make_mesh(nd, axis="edges")
+        e_i = np.minimum(np.arange(K, dtype=np.int32), K - 2)
+        e_j = e_i + 1
+        ev = np.zeros(K, bool)
+        ev[: K - 1] = edge_valid[: K - 1] & active[: K - 1] & active[1:]
+        t2, q2, cov, cost = distributed_pose_graph_solve(
+            mesh,
+            jnp.asarray(t), jnp.asarray(q), jnp.asarray(active), jnp.asarray(fixed),
+            jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(np.concatenate([edge_dt[: K - 1], np.zeros((1, 3))])),
+            jnp.asarray(np.concatenate([edge_dq[: K - 1], [[1.0, 0, 0, 0]]])),
+            jnp.asarray(np.concatenate([edge_sqrt[: K - 1], np.zeros((1, 6, 6))])),
+            jnp.asarray(ev),
+            jnp.arange(K, dtype=jnp.int32), jnp.asarray(rp_q),
+            jnp.asarray(rp_sqrt), jnp.asarray(rp_valid & active),
+            jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_dt),
+            jnp.asarray(loop_dq), jnp.asarray(loop_w), jnp.asarray(loop_valid),
+            iters=iters, with_cov=True,
+        )
+    else:
+        t2, q2, cov, cost = _optimize_core(
+            jnp.asarray(t), jnp.asarray(q), jnp.asarray(active),
+            jnp.asarray(edge_dt), jnp.asarray(edge_dq), jnp.asarray(edge_sqrt),
+            jnp.asarray(edge_valid),
+            jnp.asarray(rp_q), jnp.asarray(rp_sqrt), jnp.asarray(rp_valid),
+            jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_dt),
+            jnp.asarray(loop_dq), jnp.asarray(loop_w), jnp.asarray(loop_valid),
+            jnp.asarray(fixed), K=K, L=L, iters=iters,
+        )
     t2 = np.array(t2)[:n]
     q2 = np.array(q2)[:n]
     cov = np.array(cov)[:n]

@@ -46,6 +46,17 @@ from ..factors.priors import (
 )
 from ..geom import quat_mul, quat_normalize, so3_exp_quat
 
+# Pallas fused Schur-correction kernel in the LM body: None = auto (on for
+# the TPU backend, off elsewhere). The choice is captured at trace time, so
+# flip it before the first solve_window call of a given shape.
+USE_PALLAS_SCHUR: bool | None = None
+
+
+def _pallas_schur_enabled() -> bool:
+    if USE_PALLAS_SCHUR is not None:
+        return USE_PALLAS_SCHUR
+    return jax.default_backend() == "tpu"
+
 
 class WindowDims(NamedTuple):
     """Static problem shapes (python ints; captured at trace time)."""
@@ -444,7 +455,8 @@ def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "iters", "estimate_extrinsic")
+    jax.jit,
+    static_argnames=("dims", "iters", "estimate_extrinsic", "use_pallas_schur"),
 )
 def solve_window(
     state: WindowState,
@@ -457,6 +469,7 @@ def solve_window(
     iters: int = 10,
     estimate_extrinsic: bool = False,
     init_lambda: float = 1e-4,
+    use_pallas_schur: bool | None = None,
 ):
     """Levenberg–Marquardt with landmark Schur elimination; branchless
     accept/reject in a while_loop with a convergence early-out (the
@@ -466,6 +479,9 @@ def solve_window(
     B, D = dims.B, dims.D
     Dr = 6 * B + 6
     dtype = state.P.dtype
+    use_pallas = (
+        use_pallas_schur if use_pallas_schur is not None else _pallas_schur_enabled()
+    )
 
     # One factor evaluation per LM iteration: the normal equations built at
     # the accepted state are carried in the loop; a trial's evaluation is
@@ -487,13 +503,18 @@ def solve_window(
         h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
         # W is (F, Dr) in the reduced [pose | ex] layout; its Schur
         # correction touches only those rows/cols of the full system
-        C = W.T @ (W / h_safe[:, None])  # (Dr, Dr)
+        if use_pallas:
+            from ..ops.schur_pallas import schur_corr_pallas
+
+            C, c_b = schur_corr_pallas(W, h_safe, b_l)
+        else:
+            C = W.T @ (W / h_safe[:, None])  # (Dr, Dr)
+            c_b = W.T @ (b_l / h_safe)  # (Dr,)
         H_s = H
         H_s = H_s.at[: 6 * B, : 6 * B].add(-C[: 6 * B, : 6 * B])
         H_s = H_s.at[: 6 * B, 15 * B :].add(-C[: 6 * B, 6 * B :])
         H_s = H_s.at[15 * B :, : 6 * B].add(-C[6 * B :, : 6 * B])
         H_s = H_s.at[15 * B :, 15 * B :].add(-C[6 * B :, 6 * B :])
-        c_b = W.T @ (b_l / h_safe)  # (Dr,)
         b_s = b.at[: 6 * B].add(-c_b[: 6 * B])
         b_s = b_s.at[15 * B :].add(-c_b[6 * B :])
         diagH = jnp.clip(jnp.diag(H), 1e-8, None)

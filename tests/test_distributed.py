@@ -13,6 +13,76 @@ from isvins_tpu.geom import quat_conj, quat_mul, quat_normalize, quat_rotate, ma
 from test_posegraph import _circle_kfs
 
 
+def _drifted_loop_db(n=40):
+    """KeyframeDB with a drifted circle, GT sequential edges, one loop edge —
+    the same setting as test_pose_graph_optimize_closes_loop."""
+    from isvins_tpu.posegraph import KeyframeDB
+
+    t_gt, q_gt = _circle_kfs(n)
+    db = KeyframeDB(64, 8, 8)
+    drift_rate = 0.004
+    for k in range(n):
+        dyaw = drift_rate * k
+        Rz = np.array([[np.cos(dyaw), -np.sin(dyaw), 0],
+                       [np.sin(dyaw), np.cos(dyaw), 0], [0, 0, 1]])
+        t_v = Rz @ t_gt[k] + np.array([0.002, 0.001, 0.0]) * k
+        q_v = np.asarray(quat_normalize(quat_mul(
+            jnp.asarray(mat_to_quat(jnp.asarray(Rz))), jnp.asarray(q_gt[k]))))
+        db.add(ts=float(k), vio_t=t_v, vio_q=q_v, opt_t=t_v, opt_q=q_v)
+    for k in range(n - 1):
+        qi = jnp.asarray(q_gt[k])
+        db.edge_dt[k] = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k + 1] - t_gt[k])))
+        db.edge_dq[k] = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k + 1]))))
+        db.edge_sqrt[k] = np.eye(6) * 30.0
+        db.edge_valid[k] = True
+    k = n - 1
+    qi = jnp.asarray(q_gt[0])
+    db.loop_idx[k] = 0
+    db.loop_dt[k] = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k] - t_gt[0])))
+    db.loop_dq[k] = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k]))))
+    db.loop_weight[k] = 500.0
+    return db, t_gt
+
+
+def test_optimize_pose_graph_distributed_route_matches_dense():
+    """The production router: the same graph solved by the dense single-device
+    core and by the edge-sharded multi-device path must agree (poses and
+    covariance blocks)."""
+    from isvins_tpu.posegraph import optimize_pose_graph
+
+    n = 40
+    db_a, t_gt = _drifted_loop_db(n)
+    db_b, _ = _drifted_loop_db(n)
+
+    r_a, t_a, cost_a = optimize_pose_graph(db_a, 0, n - 1, iters=8,
+                                           dist_min_poses=10**9)
+    r_b, t_b, cost_b = optimize_pose_graph(db_b, 0, n - 1, iters=8,
+                                           dist_min_poses=2)
+    np.testing.assert_allclose(db_b.opt_t[:n], db_a.opt_t[:n], atol=1e-6)
+    np.testing.assert_allclose(db_b.cov[:n], db_a.cov[:n], atol=1e-6)
+    np.testing.assert_allclose(t_b, t_a, atol=1e-6)
+    np.testing.assert_allclose(cost_b, cost_a, rtol=1e-6, atol=1e-9)
+    # and both actually closed the loop
+    err = np.linalg.norm(db_b.opt_t[:n] - t_gt, axis=1).max()
+    assert err < 0.25, err
+
+
+def test_keyframe_db_grows_past_capacity():
+    from isvins_tpu.posegraph import KeyframeDB
+
+    db = KeyframeDB(8, 4, 4)
+    for k in range(20):
+        db.add(ts=float(k), vio_t=np.array([k, 0.0, 0.0]),
+               vio_q=np.array([1.0, 0, 0, 0]))
+    assert db.n == 20 and db.K >= 20
+    assert db.ts[19] == 19.0 and db.vio_t[7, 0] == 7.0
+    # grown region carries well-formed defaults
+    assert db.loop_idx[19] == -1
+    assert db.seq[19] == 1
+    np.testing.assert_array_equal(db.edge_dq[19], [1.0, 0, 0, 0])
+    assert db.kp_desc.shape[0] == db.K
+
+
 def test_distributed_pose_graph_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     n = 40

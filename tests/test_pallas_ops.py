@@ -31,6 +31,39 @@ def test_hamming_retrieval_kernel(rng):
     assert ref[9] == 0.0  # masked keyframe
 
 
+def test_schur_corr_kernel(rng):
+    """Fused per-LM-iteration Schur correction (the production solver's hot
+    op, solver/window.py body) vs the jnp form, at the reduced layout."""
+    from isvins_tpu.ops.schur_pallas import schur_corr_pallas, schur_corr_ref
+
+    F, Dr = 256, 66
+    W = jnp.asarray(rng.normal(size=(F, Dr)).astype(np.float32))
+    h = jnp.asarray(np.abs(rng.normal(size=F)).astype(np.float32) + 0.1)
+    bl = jnp.asarray(rng.normal(size=F).astype(np.float32))
+    C_ref, cb_ref = schur_corr_ref(W, h, bl)
+    C, cb = schur_corr_pallas(W, h, bl)
+    np.testing.assert_allclose(np.asarray(C), np.asarray(C_ref), rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(cb_ref), rtol=2e-5, atol=2e-3)
+
+
+def test_solve_window_pallas_path_matches(rng):
+    """solve_window with the Pallas Schur correction forced on (interpret on
+    CPU) must match the XLA path."""
+    import jax
+    from isvins_tpu.parallel import make_batch_problem
+    from isvins_tpu.solver import WindowDims, solve_window
+
+    dims = WindowDims(B=6, Vo=3, F=32, N=64)
+    state, imu, proj, priors, G, psi = make_batch_problem(1, dims, dtype=jnp.float32)
+    sq = lambda tree: jax.tree_util.tree_map(lambda a: a[0], tree)
+    args = (sq(state), sq(imu), sq(proj), sq(priors))
+
+    st_x, cost_x = solve_window(*args, G, psi, dims, iters=3, use_pallas_schur=False)
+    st_p, cost_p = solve_window(*args, G, psi, dims, iters=3, use_pallas_schur=True)
+    np.testing.assert_allclose(float(cost_p), float(cost_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.P), np.asarray(st_x.P), atol=1e-5)
+
+
 def test_schur_reduce_kernel(rng):
     D, F = 276, 1000
     A = rng.normal(size=(D, D))
