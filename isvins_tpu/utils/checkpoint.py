@@ -65,6 +65,7 @@ def save_estimator(est, path: str):
         Headers=est.Headers, tic=est.tic, qic=est.qic,
         imu_dt=est.imu_dt, imu_acc=est.imu_acc, imu_gyr=est.imu_gyr,
         imu_acc0=est.imu_acc0, imu_gyr0=est.imu_gyr0, imu_cnt=est.imu_cnt,
+        imu_overflow=est.imu_overflow,
         frame_count=est.frame_count, solver_flag=est.solver_flag,
         acc_0=est.acc_0, gyr_0=est.gyr_0, first_imu=est.first_imu,
         marginalization_flag=est.marginalization_flag,
@@ -84,6 +85,8 @@ def load_estimator(est, path: str):
     for name in ["Ps", "Qs", "Vs", "Bas", "Bgs", "Headers", "tic", "qic",
                  "imu_dt", "imu_acc", "imu_gyr", "imu_acc0", "imu_gyr0", "imu_cnt"]:
         setattr(est, name, np.array(z[name]))  # fresh writable arrays
+    if "imu_overflow" in z.files:
+        est.imu_overflow = np.array(z["imu_overflow"])
     est.frame_count = int(z["frame_count"])
     est.solver_flag = int(z["solver_flag"])
     # IMU stream continuity: without these, the first post-resume sample is
