@@ -89,6 +89,7 @@ class SolverConfig:
     lm_init_lambda: float = 1e-4
     min_parallax_px: float = 10.0  # keyframe_parallax (pixels); /focal for normalized
     init_depth: float = 5.0  # INIT_DEPTH fallback
+    max_depth: float = 200.0  # far-point cap (ref resets >8 m to 5 m; see feature_manager.triangulate)
     alpha: float = 0.1  # eigenvalue cutoff for sparsified-factor recovery (ALPHA)
     bias_acc_threshold: float = 2.5  # failureDetection (estimator.cpp:604)
     bias_gyr_threshold: float = 1.0

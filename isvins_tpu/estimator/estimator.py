@@ -115,7 +115,8 @@ class Estimator:
         )
 
         self.f_manager = FeatureManager(
-            self.dims.F, B, self.dims.Vo, self.min_parallax, cfg.solver.init_depth
+            self.dims.F, B, self.dims.Vo, self.min_parallax,
+            cfg.solver.init_depth, cfg.solver.max_depth,
         )
         self.clear_state()
 
@@ -168,7 +169,7 @@ class Estimator:
         self.last_kld = {}
         self.f_manager = FeatureManager(
             self.dims.F, self.dims.B, self.dims.Vo, self.min_parallax,
-            self.cfg.solver.init_depth,
+            self.cfg.solver.init_depth, self.cfg.solver.max_depth,
         )
 
     # ------------------------------------------------------------------- IMU

@@ -28,12 +28,13 @@ from ..geom import quat_to_mat
 
 class FeatureManager:
     def __init__(self, capacity: int, window: int, vo_size: int, min_parallax: float,
-                 init_depth: float = 5.0):
+                 init_depth: float = 5.0, max_depth: float = 200.0):
         self.F = capacity
         self.B = window
         self.Vo = vo_size
         self.min_parallax = min_parallax
         self.init_depth = init_depth
+        self.max_depth = max_depth
 
         F, B = capacity, window
         self.ids = np.full(F, -1, dtype=np.int64)  # -1 = free slot
@@ -155,8 +156,16 @@ class FeatureManager:
                 jnp.asarray(tic), jnp.asarray(qic),
             )
         )
-        bad = (depths < 0.1) | (depths > 8.0) | ~np.isfinite(depths)
-        depths = np.where(bad, self.init_depth, depths)
+        # Degenerate DLT (behind the camera / tiny depth / non-finite) falls
+        # back to INIT_DEPTH like the reference (feature_manager.cpp:252–255).
+        # The reference ALSO resets depths > 8 m to 5 m — that destroys
+        # genuinely far points (low-parallax tracks: sky, distant structure),
+        # planting a 5 m landmark where an ~infinite one belongs and biasing
+        # the solve; we instead keep the DLT estimate, clipped to max_depth,
+        # which approximates the far point and still contributes its
+        # rotational information.
+        bad = (depths < 0.1) | ~np.isfinite(depths)
+        depths = np.where(bad, self.init_depth, np.minimum(depths, self.max_depth))
         self.depth[rows] = depths
 
     # --------------------------------------------------------- depth <-> solver

@@ -97,9 +97,25 @@ def _hessian_blocks(jacs_with_offsets, W):
     return out
 
 
+def _spd_solve(M, B, rel_eps: float = 0.0):
+    """Cholesky solve of a symmetric PSD system (TPU XLA has no f64
+    LuDecomposition expander, so jnp.linalg.solve/inv are unavailable in
+    the x64 device code; Cholesky/eigh/SVD/QR all are)."""
+    n = M.shape[0]
+    if rel_eps:
+        M = M + rel_eps * jnp.maximum(jnp.max(jnp.abs(jnp.diag(M))), 1.0) * jnp.eye(
+            n, dtype=M.dtype
+        )
+    return jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(M), True), B)
+
+
+def _spd_inv(M, rel_eps: float = 0.0):
+    return _spd_solve(M, jnp.eye(M.shape[0], dtype=M.dtype), rel_eps)
+
+
 def _schur_keep_head(Lam, keep: int, rel_eps: float = 1e-10):
     """Marginalize the tail block: Lam_rr - Lam_rm Lam_mm^{-1} Lam_mr.
-    Uses a scaled-pinv-style solve (reference uses fullPivLu)."""
+    (Reference uses fullPivLu; the jittered block is SPD so Cholesky.)"""
     rr = Lam[:keep, :keep]
     rm = Lam[:keep, keep:]
     mm = Lam[keep:, keep:]
@@ -108,7 +124,7 @@ def _schur_keep_head(Lam, keep: int, rel_eps: float = 1e-10):
     scale = jnp.clip(jnp.diag(mm), 0.0, None)
     jitter = rel_eps * jnp.maximum(jnp.max(scale), 1.0)
     mm = mm + jitter * jnp.eye(m, dtype=Lam.dtype)
-    sol = jnp.linalg.solve(mm, rm.T)
+    sol = _spd_solve(mm, rm.T)
     out = rr - rm @ sol
     return 0.5 * (out + out.T)
 
@@ -144,7 +160,10 @@ def _kld_diagnostic(Jr, U, inv_w, keep, infos_with_offsets, n_dim):
     A_k = A * k[:, None] * k[None, :] + jnp.diag(1.0 - k)
     D_k = jnp.where(keep, 1.0 / jnp.where(keep, inv_w, 1.0), 1.0)
     a = jnp.sum(jnp.diag(A_k) * jnp.where(keep, inv_w, 0.0))
-    sign_b, logdet_b = jnp.linalg.slogdet(A_k)
+    # A_k is SPD (kept subspace + identity padding); Cholesky logdet avoids
+    # the LU-based slogdet (no f64 LU expander on TPU)
+    L = jnp.linalg.cholesky(A_k + 1e-14 * jnp.eye(A_k.shape[0], dtype=Jr.dtype))
+    logdet_b = 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
     logdet_Dinv = jnp.sum(jnp.where(keep, jnp.log(inv_w), 0.0))
     n_keep = jnp.sum(keep)
     return 0.5 * (a - logdet_b - logdet_Dinv - n_keep)
@@ -345,7 +364,7 @@ def marg_forward(
     Jpinv = jnp.linalg.pinv(Jpg, rcond=1e-8)
     rp_omega = Jpinv.T @ Lam_rp @ Jpinv
     rp_omega = 0.5 * (rp_omega + rp_omega.T)
-    rp_cov = jnp.linalg.inv(
+    rp_cov = _spd_inv(
         rp_omega + 1e-12 * jnp.trace(rp_omega) / 6 * jnp.eye(6, dtype=dtype)
     )
 
@@ -354,7 +373,7 @@ def marg_forward(
     rp_slot = jnp.argmax((priors.rp.idx == 0) & priors.rp.valid)
     rp_q = priors.rp.q_meas[rp_slot]
     rp_info = _info(priors.rp.sqrt_info[rp_slot])
-    cov_abs = jnp.linalg.inv(rp_info + (1.0 - has_rp) * jnp.eye(2, dtype=dtype) + 1e-12 * jnp.eye(2, dtype=dtype))
+    cov_abs = _spd_inv(rp_info + (1.0 - has_rp) * jnp.eye(2, dtype=dtype) + 1e-12 * jnp.eye(2, dtype=dtype))
 
     packet = PoseGraphPacket(
         rel_dt=dt_m,
@@ -454,8 +473,8 @@ def marg_backward(
         (0, _info(rel_sqrt)),
         (6, _info(vb_sqrt)),
         (15, _info(rp_sqrt)),
-        (17, jnp.linalg.inv(cov_abs + 1e-12 * jnp.eye(3, dtype=dtype))),
-        (20, jnp.linalg.inv(cov_yaw + 1e-12 * jnp.eye(1, dtype=dtype))),
+        (17, _spd_inv(cov_abs + 1e-12 * jnp.eye(3, dtype=dtype))),
+        (20, _spd_inv(cov_yaw + 1e-12 * jnp.eye(1, dtype=dtype))),
     ]
     kld = _kld_diagnostic(Jr, U, inv_w, keep, infos, 21)
 

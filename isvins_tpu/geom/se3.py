@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .so3 import (
     left_jacobian_so3,
+    left_jacobian_inv_so3,
     quat_conj,
     quat_mul,
     quat_normalize,
@@ -65,8 +66,8 @@ def se3_exp(xi):
 def se3_log(p, q):
     """Inverse of se3_exp: (p,q) -> (...,6) [v; w]."""
     w = quat_log(q)
-    Jl_inv = jnp.linalg.inv(left_jacobian_so3(w))
-    v = jnp.einsum("...ij,...j->...i", Jl_inv, p)
+    # closed form (no LU: TPU XLA has no f64 LuDecomposition expander)
+    v = jnp.einsum("...ij,...j->...i", left_jacobian_inv_so3(w), p)
     return jnp.concatenate([v, w], axis=-1)
 
 

@@ -87,12 +87,20 @@ def _corr_kernel(W_ref, hinv_ref, G_ref, out_ref):
     )
 
 
-@jax.jit
+@jax.custom_batching.custom_vmap
 def schur_corr_pallas(W, h_safe, b_l):
     """Fused Pallas version of `schur_corr_ref` for the solver's per-iteration
     Schur correction (solver/window.py LM body). W (F, Dr) reduced-layout
     coupling rows, h_safe (F,) damped landmark Hessians (already made safe),
-    b_l (F,) landmark RHS. Returns (C (Dr, Dr), c_b (Dr,))."""
+    b_l (F,) landmark RHS. Returns (C (Dr, Dr), c_b (Dr,)).
+
+    In-context A/B on v5e (full 10-iter window solve, D=276/F=1000):
+    6.41-6.58 ms for both this kernel and the XLA form — a wash; standalone
+    the kernel is ~1.4x faster (26 vs 36 us) but the solver is not
+    corr-bound. Kept as the TPU default; under vmap (batched solves) the
+    custom batching rule below falls back to the XLA form, which batches
+    into one big MXU matmul anyway (ungridded pallas_call has no batch
+    rule and fails Mosaic legalization)."""
     F, Dr = W.shape
     dtype = W.dtype
     Fp = ((F + 7) // 8) * 8
@@ -115,3 +123,13 @@ def schur_corr_pallas(W, h_safe, b_l):
         interpret=interpret,
     )(Wp, hinv, G)
     return out[:Dr, :Dr], out[:Dr, Dp]
+
+
+@schur_corr_pallas.def_vmap
+def _schur_corr_batch_rule(axis_size, in_batched, W, h_safe, b_l):
+    bc = lambda x, b: x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    W = bc(W, in_batched[0])
+    h_safe = bc(h_safe, in_batched[1])
+    b_l = bc(b_l, in_batched[2])
+    C, cb = jax.vmap(schur_corr_ref)(W, h_safe, b_l)
+    return (C, cb), (True, True)

@@ -27,6 +27,14 @@ from ..factors.priors import relpose_residual_jacobians, rollpitch_residual_jaco
 from ..geom import quat_mul, quat_normalize, so3_exp_quat
 
 
+
+def _atb(A, B):
+    """A^T @ B via dot_general contracting dim 0 (no transpose materialized)."""
+    return jax.lax.dot_general(
+        A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=A.dtype,
+    )
+
 def _huber_weight(r_norm_sq, delta: float):
     r = jnp.sqrt(jnp.maximum(r_norm_sq, 1e-18))
     return jnp.sqrt(jnp.where(r <= delta, 1.0, delta / r))
@@ -54,7 +62,7 @@ def _edge_rows(tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype):
     J = expand(Ji, oh(e_i)) + expand(Jj, oh(e_j))
     Jf = J.reshape(-1, D)
     rf = r.reshape(-1)
-    return Jf.T @ Jf, -(Jf.T @ rf), 0.5 * jnp.sum(rf * rf)
+    return _atb(Jf, Jf), -_atb(Jf, rf), 0.5 * jnp.sum(rf * rf)
 
 
 def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta):
@@ -81,7 +89,7 @@ def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta):
     J = expand(Ji, oh(l_i)) + expand(Jj, oh(l_j))
     Jf = J.reshape(-1, D)
     rf = r.reshape(-1)
-    return Jf.T @ Jf, -(Jf.T @ rf), 0.5 * jnp.sum(rf * rf)
+    return _atb(Jf, Jf), -_atb(Jf, rf), 0.5 * jnp.sum(rf * rf)
 
 
 def _rp_rows(tt, qq, rp_i, rp_q, rp_sqrt, rp_valid, K, dtype):
@@ -99,7 +107,7 @@ def _rp_rows(tt, qq, rp_i, rp_q, rp_sqrt, rp_valid, K, dtype):
     oh = jax.nn.one_hot(rp_i, K, dtype=dtype)
     Jfull = jnp.einsum("nrk,nb->nrbk", J, oh).reshape(-1, D)
     rf = r.reshape(-1)
-    return Jfull.T @ Jfull, -(Jfull.T @ rf), 0.5 * jnp.sum(rf * rf)
+    return _atb(Jfull, Jfull), -_atb(Jfull, rf), 0.5 * jnp.sum(rf * rf)
 
 
 def distributed_pose_graph_solve(

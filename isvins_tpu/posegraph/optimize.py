@@ -25,6 +25,14 @@ from ..factors.priors import relpose_residual_jacobians, rollpitch_residual_jaco
 from ..geom import quat_mul, quat_normalize, so3_exp_quat
 
 
+
+def _atb(A, B):
+    """A^T @ B via dot_general contracting dim 0 (no transpose materialized)."""
+    return jax.lax.dot_general(
+        A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=A.dtype,
+    )
+
 def _huber_weight(r_norm_sq, delta: float):
     """sqrt of the IRLS weight for Huber loss rho(s) with s = ||r||^2."""
     r = jnp.sqrt(jnp.maximum(r_norm_sq, 1e-18))
@@ -98,8 +106,8 @@ def _optimize_core(
         # gauge: zero columns of fixed poses
         colmask = jnp.repeat(~fixed_mask & active, 6).astype(dtype)
         J = J * colmask[None, :]
-        H = J.T @ J
-        b = -(J.T @ r)
+        H = _atb(J, J)
+        b = -_atb(J, r)
         # unit diagonal for fixed/inactive dims so chol works
         H = H + jnp.diag(1.0 - colmask)
         cost = 0.5 * jnp.sum(r * r)
