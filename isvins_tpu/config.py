@@ -22,7 +22,16 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CameraConfig:
-    """Pinhole + radtan intrinsics (camodocal PinholeCamera equivalent)."""
+    """Camera intrinsics for the camodocal model family
+    (thirdparty/camera_models: PinholeCamera, CataCamera/Mei,
+    EquidistantCamera/Kannala-Brandt, ScaramuzzaCamera/OCAM), selected by
+    `model`. Field reuse across models mirrors camodocal's parameter names:
+    pinhole (fx,fy,cx,cy,k1,k2,p1,p2); mei adds xi and reads
+    (gamma1,gamma2,u0,v0) from (fx,fy,cx,cy); equidistant reads (mu,mv,u0,v0)
+    from (fx,fy,cx,cy) and its k2..k5 from `kb`; scaramuzza reads the image
+    center from (cx,cy), the affine (C,D,E) from `ocam_cde`, and the forward/
+    inverse polynomials from `ocam_poly`/`ocam_inv_poly` (fx then only feeds
+    the tracker's normalized RANSAC threshold)."""
 
     width: int = 752
     height: int = 480
@@ -34,6 +43,12 @@ class CameraConfig:
     k2: float = 8.228e-02
     p1: float = 5.333e-05
     p2: float = -1.578e-04
+    model: str = "pinhole"  # pinhole | mei | equidistant | scaramuzza
+    xi: float = 0.0  # Mei unified-model mirror parameter
+    kb: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)  # KB k2..k5
+    ocam_poly: Tuple[float, ...] = ()  # OCAM cam2world polynomial (a0..aN)
+    ocam_inv_poly: Tuple[float, ...] = ()  # OCAM world2cam polynomial
+    ocam_cde: Tuple[float, float, float] = (1.0, 0.0, 0.0)  # OCAM affine C,D,E
 
     @property
     def K(self) -> np.ndarray:
@@ -54,6 +69,8 @@ class TrackerConfig:
     lk_win: int = 21  # LK window size
     lk_levels: int = 3  # pyramid levels
     border: int = 1  # inBorder margin (border size BORDER_SIZE=1)
+    flow_back: bool = True  # forward-backward LK consistency gate (VINS-Fusion FLOW_BACK)
+    flow_back_thresh: float = 0.5  # round-trip pixel tolerance
 
 
 @dataclass(frozen=True)

@@ -415,10 +415,25 @@ class Estimator:
 
         if first:
             # initFactorGraph (:667–1001): full BA without priors, then
-            # recover the initial sparse prior set at the solved state
+            # recover the initial sparse prior set at the solved state.
+            # The BA alternates with the closed-form scale/gravity/velocity
+            # re-alignment (vi_init.realign_window): LM alone converges the
+            # stiff global scale/gravity directions only logarithmically, and
+            # any residual attitude error at sparsification time is frozen
+            # into the rollpitch/VB priors (a 4 deg error leaks ~0.7 m/s^2 of
+            # gravity into the dynamics and diverges the whole run).
+            from .vi_init import realign_window
+
             self._solve_once(
                 PriorState.empty(self.dims.Vo), self.cfg.solver.init_max_iterations
             )
+            for _ in range(2):
+                if not realign_window(self):
+                    break
+                self._solve_once(
+                    PriorState.empty(self.dims.Vo),
+                    self.cfg.solver.init_max_iterations,
+                )
             pre_vo = jax.tree_util.tree_map(
                 lambda a: a[: self.dims.Vo - 1], self._imu_factors().pre
             )

@@ -225,7 +225,24 @@ class FeatureManager:
         m = self.has_obs[rows] & (z > 0.05)
         n_obs = np.maximum(m.sum(axis=1), 1)
         mean_err = np.where(m, err, 0.0).sum(axis=1) / n_obs
-        bad = (mean_err > thresh_px) | ((m.sum(axis=1) == 0) & (self.used_num()[rows] >= 2))
+        # Outliers are *relative*: under a model error (biased init, gravity
+        # tilt mid-correction) EVERY track reprojects badly and an absolute
+        # gate strips the window of the only information that can fix the
+        # state — measured on the noisy loop e2e, a plain 3 px gate culled
+        # 50 -> 0 tracks within 20 frames and the run dead-reckoned to
+        # divergence. Gate at max(thresh, 5x median), cap the cull at 20% of
+        # tracks per pass, and never cull a starved window.
+        if len(rows) < 20:
+            return 0
+        med = float(np.median(mean_err))
+        gate = max(thresh_px, 5.0 * med)
+        bad = (mean_err > gate) | ((m.sum(axis=1) == 0) & (self.used_num()[rows] >= 2))
+        max_cull = max(1, int(0.2 * len(rows)))
+        if bad.sum() > max_cull:
+            worst = np.argsort(mean_err)[::-1][:max_cull]
+            keep = np.zeros_like(bad)
+            keep[worst] = True
+            bad &= keep
         self.outlier[rows[bad]] = True
         return int(bad.sum())
 
@@ -290,7 +307,9 @@ class FeatureManager:
         """Flatten good tracks into padded ProjFactors arrays + the forward-
         marginalization subset (host frame 0, observed at frame 1 — the
         estimator.cpp:1083–1087 tagging). Returns dict of numpy arrays."""
-        good = self.good_mask()
+        # outlier-flagged tracks are dead weight awaiting remove_failures —
+        # never let them contribute another factor
+        good = self.good_mask() & ~self.outlier
         rows = np.where(good)[0]
         # vectorized flattening (the per-observation Python loop here ran
         # ~10^3 iterations per frame and was a host bottleneck): observation

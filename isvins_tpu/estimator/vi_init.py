@@ -256,6 +256,63 @@ def global_sfm(est, l, R_rel, T_rel):
     return True, q_wc, t_wc, np.array(state2.dep)
 
 
+def realign_window(est) -> bool:
+    """Closed-form velocity/gravity/scale re-alignment at the CURRENT window
+    states (post-BA). LM converges the stiff global scale/gravity directions
+    only logarithmically (measured on a hard init: 30 iterations leave the
+    window path at 0.35 of its true length, 120 at 0.74), while the linear
+    alignment (initial_aligment.cpp:125–198) jumps to the optimum given the
+    current rotations — alternating BA and re-alignment converges the init in
+    two rounds. Gauge is free during initialization, so re-zeroing yaw and
+    re-anchoring the first position is safe (double2vector re-anchors anyway).
+    Returns False (leaving states untouched) if alignment rejects OR if the
+    correction is negligible (|s-1| < 2%, attitude < 1 deg) — a converged
+    init must not be perturbed: the realignment is exact only up to the IMU
+    noise in the preintegrations, so applying a near-identity correction to
+    an already-converged window trades BA-optimal states for alignment noise
+    (measured: +35% ATE on the noisy e2e sequence without this gate)."""
+    B = est.dims.B
+    RIC = np.asarray(quat_to_mat(jnp.asarray(est.qic)))
+    TIC = np.asarray(est.tic)
+    R_body = np.asarray(quat_to_mat(jnp.asarray(est.Qs)))  # (B,3,3)
+    T_cam = est.Ps + np.einsum("bij,j->bi", R_body, TIC)
+    pre_all = est._imu_factors().pre
+    pres = [jax.tree_util.tree_map(lambda a: a[k], pre_all) for k in range(B - 1)]
+    ok, g_w, x = linear_alignment(
+        R_body, T_cam, pres, TIC, float(np.linalg.norm(est.G))
+    )
+    if not ok:
+        return False
+    s = float(x[-1])
+    if not (0.2 < s < 5.0):
+        return False
+
+    Ps = s * T_cam - np.einsum("bij,j->bi", R_body, TIC)
+    anchor = est.Ps[0].copy()
+    Vs = np.einsum("bij,bj->bi", R_body, x[: 3 * B].reshape(B, 3))
+
+    R0 = np.asarray(g2R(jnp.asarray(g_w)))
+    yaw = float(np.asarray(mat_to_ypr(jnp.asarray(R0 @ R_body[0])))[0])
+    R0 = np.asarray(ypr_to_mat(jnp.asarray([-yaw, 0.0, 0.0]))) @ R0
+
+    ang = np.degrees(np.arccos(np.clip((np.trace(R0) - 1.0) / 2.0, -1.0, 1.0)))
+    if abs(s - 1.0) < 0.02 and ang < 1.0:
+        return False  # converged — see docstring
+
+    Ps = np.einsum("ij,bj->bi", R0, Ps)
+    est.Ps[:] = Ps - Ps[0] + anchor
+    est.Vs[:] = np.einsum("ij,bj->bi", R0, Vs)
+    R_w = np.einsum("ij,bjk->bik", R0, R_body)
+    est.Qs[:] = np.asarray(mat_to_quat(jnp.asarray(R_w)))
+    # the world similarity (R0, s) leaves each landmark's anchor-camera ray
+    # unchanged and scales its depth by s — rescale instead of invalidating
+    # (a reset discards converged triangulations and re-seeds them from
+    # noisy two-view DLT)
+    dep = est.f_manager.depth
+    dep[dep > 0] *= s
+    return True
+
+
 def run_visual_inertial_init(est) -> bool:
     if not check_imu_excitation(est):
         return False

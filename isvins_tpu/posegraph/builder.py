@@ -65,7 +65,7 @@ class PoseGraphBuilder:
         self.pg = pg
         self.db = KeyframeDB(pg.max_keyframes, pg.max_kp_per_kf, 256)
         self.pattern = jnp.asarray(make_brief_pattern(pg.brief_bits))
-        self.camera = camera  # PinholeRadtan for norm->pixel projection
+        self.camera = camera  # camera model (make_camera) for norm->pixel projection
         self.accum = _Accum.identity()
         self.last_kf: Optional[int] = None
         self.earliest_loop = -1

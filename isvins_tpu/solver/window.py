@@ -51,10 +51,37 @@ from ..geom import quat_mul, quat_normalize, so3_exp_quat
 # flip it before the first solve_window call of a given shape.
 USE_PALLAS_SCHUR: bool | None = None
 
+# Pallas fused projection evaluation (ops/proj_pallas.py): same auto rule.
+# The window solve is kernel-launch bound (one normal-equations build
+# compiles to ~450 kernels; 630 MB / 1.9 GFLOP for a 10-iteration solve vs
+# 6.6 ms measured = ~9x above the HBM roofline), and the projection chain is
+# the longest run of small fusions — collapsing it into one VMEM-resident
+# kernel is worth more than any FLOP-level tuning.
+USE_PALLAS_PROJ: bool | None = None
+
+# Pallas fused LM linear step (ops/linstep_pallas.py): Schur correction +
+# block insert + damping + blocked Cholesky + triangular solves + landmark
+# back-substitution as ONE kernel. Profiled per iteration the XLA lowering
+# of this step costs ~200 us, dominated by a 73 us layout copy feeding the
+# Cholesky custom-call and the fixed gaps between ~40 tiny dispatches.
+USE_PALLAS_LINSTEP: bool | None = None
+
 
 def _pallas_schur_enabled() -> bool:
     if USE_PALLAS_SCHUR is not None:
         return USE_PALLAS_SCHUR
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_proj_enabled() -> bool:
+    if USE_PALLAS_PROJ is not None:
+        return USE_PALLAS_PROJ
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_linstep_enabled() -> bool:
+    if USE_PALLAS_LINSTEP is not None:
+        return USE_PALLAS_LINSTEP
     return jax.default_backend() == "tpu"
 
 
@@ -244,10 +271,14 @@ def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: Win
 
     if not estimate_extrinsic:
         # component-planes fast path (solver/proj_fast.py): elementwise over
-        # N lanes, rotations composed as quaternion products
-        from .proj_fast import eval_proj_rows
+        # N lanes, rotations composed as quaternion products; on TPU the
+        # whole chain runs as one fused Pallas kernel (ops/proj_pallas.py)
+        if _pallas_proj_enabled() and state.P.dtype == jnp.float32:
+            from ..ops.proj_pallas import proj_rows_pallas as _proj_rows
+        else:
+            from .proj_fast import eval_proj_rows as _proj_rows
 
-        r, J_pi, J_pj, J_dep = eval_proj_rows(
+        r, J_pi, J_pj, J_dep = _proj_rows(
             proj.pts_i, proj.pts_j,
             state.P[proj.idx_i], state.Q[proj.idx_i],
             state.P[proj.idx_j], state.Q[proj.idx_j],
@@ -466,7 +497,8 @@ def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "iters", "estimate_extrinsic", "use_pallas_schur"),
+    static_argnames=("dims", "iters", "estimate_extrinsic", "use_pallas_schur",
+                     "use_pallas_linstep"),
 )
 def solve_window(
     state: WindowState,
@@ -480,6 +512,7 @@ def solve_window(
     estimate_extrinsic: bool = False,
     init_lambda: float = 1e-4,
     use_pallas_schur: bool | None = None,
+    use_pallas_linstep: bool | None = None,
 ):
     """Levenberg–Marquardt with landmark Schur elimination; branchless
     accept/reject in a while_loop with a convergence early-out (the
@@ -492,6 +525,13 @@ def solve_window(
     use_pallas = (
         use_pallas_schur if use_pallas_schur is not None else _pallas_schur_enabled()
     )
+    # fused linear step: f32 only (the kernel computes in f32); f64 solves
+    # (init BA on CPU tests) keep the XLA path
+    use_linstep = (
+        use_pallas_linstep
+        if use_pallas_linstep is not None
+        else _pallas_linstep_enabled()
+    ) and dtype == jnp.float32
 
     # One factor evaluation per LM iteration: the normal equations built at
     # the accepted state are carried in the loop; a trial's evaluation is
@@ -509,31 +549,37 @@ def solve_window(
     def body(carry):
         i, done, st, ne, lam = carry
         H, b, h, W, b_l, cost0 = ne
-        h_d = h * (1.0 + lam)
-        h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
-        # W is (F, Dr) in the reduced [pose | ex] layout; its Schur
-        # correction touches only those rows/cols of the full system
-        if use_pallas:
-            from ..ops.schur_pallas import schur_corr_pallas
+        if use_linstep:
+            # the whole linear step as ONE VMEM-resident Pallas program
+            from ..ops.linstep_pallas import linstep_pallas
 
-            C, c_b = schur_corr_pallas(W, h_safe, b_l)
+            dx, dl = linstep_pallas(H, b, W, h, b_l, lam, 6 * B)
         else:
-            Wh = W / h_safe[:, None]
-            C = _atb(W, Wh)  # (Dr, Dr)
-            c_b = _atb(W, b_l / h_safe)  # (Dr,)
-        H_s = H
-        H_s = H_s.at[: 6 * B, : 6 * B].add(-C[: 6 * B, : 6 * B])
-        H_s = H_s.at[: 6 * B, 15 * B :].add(-C[: 6 * B, 6 * B :])
-        H_s = H_s.at[15 * B :, : 6 * B].add(-C[6 * B :, : 6 * B])
-        H_s = H_s.at[15 * B :, 15 * B :].add(-C[6 * B :, 6 * B :])
-        b_s = b.at[: 6 * B].add(-c_b[: 6 * B])
-        b_s = b_s.at[15 * B :].add(-c_b[6 * B :])
-        diagH = jnp.clip(jnp.diag(H), 1e-8, None)
-        H_d = H_s + jnp.diag(lam * diagH)
-        L = jnp.linalg.cholesky(H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype))
-        dx = jax.scipy.linalg.cho_solve((L, True), b_s)
-        dx_r = jnp.concatenate([dx[: 6 * B], dx[15 * B :]])
-        dl = (b_l - W @ dx_r) / h_safe
+            h_d = h * (1.0 + lam)
+            h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
+            # W is (F, Dr) in the reduced [pose | ex] layout; its Schur
+            # correction touches only those rows/cols of the full system
+            if use_pallas:
+                from ..ops.schur_pallas import schur_corr_pallas
+
+                C, c_b = schur_corr_pallas(W, h_safe, b_l)
+            else:
+                Wh = W / h_safe[:, None]
+                C = _atb(W, Wh)  # (Dr, Dr)
+                c_b = _atb(W, b_l / h_safe)  # (Dr,)
+            H_s = H
+            H_s = H_s.at[: 6 * B, : 6 * B].add(-C[: 6 * B, : 6 * B])
+            H_s = H_s.at[: 6 * B, 15 * B :].add(-C[: 6 * B, 6 * B :])
+            H_s = H_s.at[15 * B :, : 6 * B].add(-C[6 * B :, : 6 * B])
+            H_s = H_s.at[15 * B :, 15 * B :].add(-C[6 * B :, 6 * B :])
+            b_s = b.at[: 6 * B].add(-c_b[: 6 * B])
+            b_s = b_s.at[15 * B :].add(-c_b[6 * B :])
+            diagH = jnp.clip(jnp.diag(H), 1e-8, None)
+            H_d = H_s + jnp.diag(lam * diagH)
+            L = jnp.linalg.cholesky(H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype))
+            dx = jax.scipy.linalg.cho_solve((L, True), b_s)
+            dx_r = jnp.concatenate([dx[: 6 * B], dx[15 * B :]])
+            dl = (b_l - W @ dx_r) / h_safe
         trial = retract_state(st, dx, dl, dims)
         ne_trial = build(trial)
         cost1 = ne_trial[-1]

@@ -24,7 +24,7 @@ import numpy as np
 
 from .config import EngineConfig
 from .estimator.estimator import Estimator, MARGIN_OLD, NON_LINEAR
-from .frontend import FeatureTracker, PinholeRadtan
+from .frontend import FeatureTracker, make_camera
 from .posegraph import PoseGraphBuilder
 from .solver import WindowDims
 
@@ -36,7 +36,7 @@ class System:
         self.tracker = FeatureTracker(cfg.camera, cfg.tracker)
         self.estimator = Estimator(cfg, dims)
         self.pgbuilder = (
-            PoseGraphBuilder(cfg, camera=PinholeRadtan.from_config(cfg.camera))
+            PoseGraphBuilder(cfg, camera=make_camera(cfg.camera))
             if (enable_loop and cfg.posegraph.enabled)
             else None
         )

@@ -2,6 +2,7 @@
 kernel bodies; the TPU bench runs them compiled)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import isvins_tpu  # noqa: F401
@@ -78,3 +79,90 @@ def test_schur_reduce_kernel(rng):
     Hs, bs = schur_reduce_pallas(H, b, W, h, bl)
     np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hs_ref), rtol=2e-5, atol=2e-3)
     np.testing.assert_allclose(np.asarray(bs), np.asarray(bs_ref), rtol=2e-5, atol=2e-3)
+
+
+def test_proj_rows_kernel_matches_fast_path(rng):
+    """Fused projection-evaluation kernel (ops/proj_pallas.py, interpret on
+    CPU) vs the component-planes reference (solver/proj_fast.py)."""
+    from isvins_tpu.ops.proj_pallas import proj_rows_pallas
+    from isvins_tpu.solver.proj_fast import eval_proj_rows
+
+    N, B = 300, 6
+    f32 = np.float32
+    q = rng.normal(size=(B, 4)); q /= np.linalg.norm(q, axis=1, keepdims=True)
+    P = rng.normal(size=(B, 3)) * 2.0
+    idx_i = rng.integers(0, B, N)
+    idx_j = rng.integers(0, B, N)
+    pts_i = np.concatenate([rng.normal(size=(N, 2)) * 0.3, np.ones((N, 1))], 1)
+    pts_j = np.concatenate([rng.normal(size=(N, 2)) * 0.3, np.ones((N, 1))], 1)
+    qic = np.array([0.99, 0.05, -0.08, 0.03]); qic /= np.linalg.norm(qic)
+    tic = np.array([0.02, -0.01, 0.015])
+    dep = np.abs(rng.normal(size=N)) * 4.0 + 0.5
+    valid = rng.random(N) > 0.15
+
+    args = (
+        jnp.asarray(pts_i, f32), jnp.asarray(pts_j, f32),
+        jnp.asarray(P[idx_i], f32), jnp.asarray(q[idx_i], f32),
+        jnp.asarray(P[idx_j], f32), jnp.asarray(q[idx_j], f32),
+        jnp.asarray(tic, f32), jnp.asarray(qic, f32),
+        jnp.asarray(dep, f32), jnp.asarray(valid),
+    )
+    ref = eval_proj_rows(*args)
+    out = proj_rows_pallas(*args)
+    for o, r, name in zip(out, ref, ("r", "J_pi", "J_pj", "J_dep")):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), rtol=3e-4, atol=1e-4, err_msg=name
+        )
+
+    # vmap falls back to the reference implementation (batch rule)
+    vargs = jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), args)
+    vout = jax.vmap(proj_rows_pallas)(*vargs)
+    np.testing.assert_allclose(
+        np.asarray(vout[0][0]), np.asarray(ref[0]), rtol=3e-4, atol=1e-4
+    )
+
+
+def test_linstep_kernel_matches_reference(rng):
+    """Fused LM linear-step kernel (ops/linstep_pallas.py, interpret on CPU)
+    vs the XLA reference: Schur correction + damping + Cholesky + solves."""
+    from isvins_tpu.ops.linstep_pallas import linstep_pallas, linstep_ref
+
+    B = 18
+    n_pose = 6 * B
+    D = 15 * B + 6
+    Dr = n_pose + 6
+    F = 1000
+    A = rng.normal(size=(D, D + 60))
+    H0 = A @ A.T + 200 * np.eye(D)
+    W = rng.normal(size=(F, Dr)).astype(np.float32)
+    h = (np.abs(rng.normal(size=F)) * 5 + 0.5).astype(np.float32)
+    # embed the landmark information in H so the Schur complement stays SPD
+    # (in the solver H is the full J^T J, which always dominates W^T W / h)
+    C = (W / h[:, None]).T @ W
+    ex0 = D - 6
+    H = H0.copy()
+    H[:n_pose, :n_pose] += C[:n_pose, :n_pose]
+    H[:n_pose, ex0:] += C[:n_pose, n_pose:]
+    H[ex0:, :n_pose] += C[n_pose:, :n_pose]
+    H[ex0:, ex0:] += C[n_pose:, n_pose:]
+    H = H.astype(np.float32)
+    b = rng.normal(size=D).astype(np.float32)
+    bl = rng.normal(size=F).astype(np.float32)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    args = (jnp.asarray(H), jnp.asarray(b), jnp.asarray(W), jnp.asarray(h),
+            jnp.asarray(bl), lam)
+
+    dx_r, dl_r = linstep_ref(*args, n_pose, D)
+    dx_p, dl_p = linstep_pallas(*args, n_pose)
+    scale = np.abs(np.asarray(dx_r)).max()
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dl_p), np.asarray(dl_r),
+                               atol=2e-3 * np.abs(np.asarray(dl_r)).max(),
+                               rtol=2e-3)
+
+    # vmap falls back to the batched XLA reference
+    vargs = jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), args)
+    vdx, vdl = jax.vmap(lambda *a: linstep_pallas(*a, n_pose))(*vargs)
+    np.testing.assert_allclose(np.asarray(vdx[0]), np.asarray(dx_r),
+                               atol=1e-5 * scale, rtol=1e-5)
