@@ -94,7 +94,9 @@ def _scatter_matrix(n_pose: int, Dr: int, D: int, Dp: int, Drp: int):
     for j in range(Dr):
         i = j if j < n_pose else D - (Dr - j)
         P[i, j] = 1.0
-    return jnp.asarray(P)
+    # return numpy, NOT jnp.asarray: a device constant created during one
+    # trace and served from the cache into another leaks a tracer
+    return P
 
 
 def _make_kernel(D: int, Dp: int, nblk: int):

@@ -255,8 +255,12 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
     Jrows = jnp.concatenate(
         [pose_part, vb_part, jnp.zeros((B - 1, 15, 6), dtype)], axis=2
     )
-    cost = 0.5 * jnp.sum(r_w * r_w)
-    return r_w, Jrows, cost
+    # cost as a per-factor VECTOR: the callers concatenate every family's
+    # contributions and reduce ONCE — each scalar accumulation op otherwise
+    # becomes its own ~7 us SMEM kernel (14 of them per LM iteration,
+    # profiled ~100 us/iteration of pure dispatch)
+    cvec = 0.5 * jnp.sum(r_w * r_w, axis=1)
+    return r_w, Jrows, cvec
 
 
 def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims,
@@ -317,8 +321,8 @@ def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: Win
         [_expand_pose_block(J_pi, oh_i) + _expand_pose_block(J_pj, oh_j), J_ex],
         axis=2,
     )
-    cost = 0.5 * jnp.sum(_cauchy_rho(r_sq) * vw)
-    return r_w, Jrows, J_dep, cost
+    cvec = 0.5 * _cauchy_rho(r_sq) * vw  # see _eval_imu cost-vector note
+    return r_w, Jrows, J_dep, cvec
 
 
 
@@ -337,7 +341,7 @@ def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
     B, Vo, D = dims.B, dims.Vo, dims.D
     dtype = state.P.dtype
     rows = []
-    cost = jnp.asarray(0.0, dtype)
+    cvecs = []  # per-factor cost pieces; summed once by the caller
 
     def robustify(r_w, Jrows_list, valid):
         s = jnp.sum(r_w * r_w)
@@ -352,7 +356,7 @@ def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
     r_w, (J_w,), c = robustify(r_w, [J_w], priors.se3_valid)
     Jrow = jnp.zeros((6, D), dtype).at[:, 0:6].set(J_w)
     rows.append((r_w, Jrow))
-    cost = cost + c
+    cvecs.append(c[None])
 
     # VB prior on frame Vo-1
     k = Vo - 1
@@ -362,7 +366,7 @@ def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
     r_w, (J_w,), c = robustify(r_w, [J_w], priors.vb_valid)
     Jrow = jnp.zeros((9, D), dtype).at[:, 6 * B + 9 * k : 6 * B + 9 * k + 9].set(J_w)
     rows.append((r_w, Jrow))
-    cost = cost + c
+    cvecs.append(c[None])
 
     # relative-pose edges (k-1, k), k = 1..Vo-1
     def one_rel(k):
@@ -385,7 +389,7 @@ def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
     Jrel = Jrel.at[:, :, : 6 * B].add(_expand_pose_block(JJi, oh_i))
     Jrel = Jrel.at[:, :, : 6 * B].add(_expand_pose_block(JJj, oh_j))
     rows.append((rr.reshape(-1), Jrel.reshape(-1, D)))
-    cost = cost + jnp.sum(cc)
+    cvecs.append(cc)
 
     # roll-pitch edges
     def one_rp(k):
@@ -404,9 +408,9 @@ def _eval_priors(state: WindowState, priors: PriorState, dims: WindowDims):
     Jrp = jnp.zeros((kk.shape[0], 2, D), dtype)
     Jrp = Jrp.at[:, :, : 6 * B].add(_expand_pose_block(JJ, oh))
     rows.append((rr.reshape(-1), Jrp.reshape(-1, D)))
-    cost = cost + jnp.sum(cc)
+    cvecs.append(cc)
 
-    return rows, cost
+    return rows, jnp.concatenate(cvecs)
 
 
 def build_normal_equations(
@@ -428,11 +432,11 @@ def build_normal_equations(
     Dr = 6 * B + 6
     dtype = state.P.dtype
 
-    r_imu, J_imu, c_imu = _eval_imu(state, imu, G, dims)
-    r_proj, J_proj, J_dep, c_proj = _eval_proj(
+    r_imu, J_imu, cv_imu = _eval_imu(state, imu, G, dims)
+    r_proj, J_proj, J_dep, cv_proj = _eval_proj(
         state, proj, pixel_sqrt_info, dims, estimate_extrinsic
     )
-    prior_rows, c_prior = _eval_priors(state, priors, dims)
+    prior_rows, cv_prior = _eval_priors(state, priors, dims)
 
     # imu + prior rows in the full layout (few rows; cheap)
     all_r = [r_imu.reshape(-1)] + [r for r, _ in prior_rows]
@@ -483,16 +487,16 @@ def build_normal_equations(
     W = agg[:, 1 : 1 + Dr]
     b_l = agg[:, 1 + Dr]
 
-    cost = c_imu + c_proj + c_prior
+    cost = jnp.sum(jnp.concatenate([cv_imu, cv_proj, cv_prior]))
     return H, b, h, W, b_l, cost
 
 
 def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
     """Robust cost only (cheap path for LM accept tests)."""
-    _, _, c_imu = _eval_imu(state, imu, G, dims)
-    _, _, _, c_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
-    _, c_prior = _eval_priors(state, priors, dims)
-    return c_imu + c_proj + c_prior
+    _, _, cv_imu = _eval_imu(state, imu, G, dims)
+    _, _, _, cv_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
+    _, cv_prior = _eval_priors(state, priors, dims)
+    return jnp.sum(jnp.concatenate([cv_imu, cv_proj, cv_prior]))
 
 
 @functools.partial(
