@@ -59,6 +59,12 @@ USE_PALLAS_SCHUR: bool | None = None
 # kernel is worth more than any FLOP-level tuning.
 USE_PALLAS_PROJ: bool | None = None
 
+# Pallas fused IMU factor evaluation (ops/imu_pallas.py): the vmapped XLA
+# evaluation lowers to ~100 small kernels whose dispatch gaps cost ~100 us
+# per LM iteration; the kernel computes all residuals + compact Jacobians
+# in one program and whitening becomes one block-diagonal MXU matmul.
+USE_PALLAS_IMU: bool | None = None
+
 # Pallas fused LM linear step (ops/linstep_pallas.py): Schur correction +
 # block insert + damping + blocked Cholesky + triangular solves + landmark
 # back-substitution as ONE kernel. Profiled per iteration the XLA lowering
@@ -76,6 +82,12 @@ def _pallas_schur_enabled() -> bool:
 def _pallas_proj_enabled() -> bool:
     if USE_PALLAS_PROJ is not None:
         return USE_PALLAS_PROJ
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_imu_enabled() -> bool:
+    if USE_PALLAS_IMU is not None:
+        return USE_PALLAS_IMU
     return jax.default_backend() == "tpu"
 
 
@@ -225,18 +237,30 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
     j_idx = i_idx + 1
     S = imu.sqrt  # precomputed: cov is constant across LM iterations
 
-    def one(k):
-        pre_k = jax.tree_util.tree_map(lambda a: a[k], imu.pre)
-        return imu_residual_jacobians(
-            pre_k, G,
-            state.P[k], state.Q[k], state.V[k], state.Ba[k], state.Bg[k],
-            state.P[k + 1], state.Q[k + 1], state.V[k + 1], state.Ba[k + 1], state.Bg[k + 1],
-        )
+    if _pallas_imu_enabled() and dtype == jnp.float32:
+        from ..ops.imu_pallas import imu_rows_pallas
 
-    r, J_pi, J_vbi, J_pj, J_vbj = jax.vmap(one)(i_idx)
+        pre = imu.pre
+        r, Jcat = imu_rows_pallas(
+            state.P[:-1], state.Q[:-1], state.V[:-1], state.Ba[:-1], state.Bg[:-1],
+            state.P[1:], state.Q[1:], state.V[1:], state.Ba[1:], state.Bg[1:],
+            pre.delta_p, pre.delta_q, pre.delta_v, pre.sum_dt, pre.ba, pre.bg,
+            pre.jac, G,
+        )
+    else:
+
+        def one(k):
+            pre_k = jax.tree_util.tree_map(lambda a: a[k], imu.pre)
+            return imu_residual_jacobians(
+                pre_k, G,
+                state.P[k], state.Q[k], state.V[k], state.Ba[k], state.Bg[k],
+                state.P[k + 1], state.Q[k + 1], state.V[k + 1], state.Ba[k + 1], state.Bg[k + 1],
+            )
+
+        r, J_pi, J_vbi, J_pj, J_vbj = jax.vmap(one)(i_idx)
+        Jcat = jnp.concatenate([J_pi, J_vbi, J_pj, J_vbj], axis=2)  # (n,15,30)
     w = imu.valid.astype(dtype)[:, None]
     # single whitening matmul over the concatenated (15, 6+9+6+9) block
-    Jcat = jnp.concatenate([J_pi, J_vbi, J_pj, J_vbj], axis=2)  # (n,15,30)
     Jcat = jnp.einsum("nab,nbk->nak", S, Jcat) * w[..., None]
     r_w = jnp.einsum("nab,nb->na", S, r) * w
     J_pi, J_vbi = Jcat[:, :, :6], Jcat[:, :, 6:15]

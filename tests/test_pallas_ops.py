@@ -166,3 +166,33 @@ def test_linstep_kernel_matches_reference(rng):
     vdx, vdl = jax.vmap(lambda *a: linstep_pallas(*a, n_pose))(*vargs)
     np.testing.assert_allclose(np.asarray(vdx[0]), np.asarray(dx_r),
                                atol=1e-5 * scale, rtol=1e-5)
+
+
+def test_imu_rows_kernel_matches_vmap_path(rng):
+    """Fused IMU evaluation kernel (ops/imu_pallas.py, interpret on CPU) vs
+    the vmapped reference (factors/preintegration.imu_residual_jacobians).
+    NB on real TPU the XLA path's small matmuls run at bf16 default
+    precision, so the kernel (exact f32 VPU) is the MORE accurate of the
+    two; interpret-mode comparison is f32-exact."""
+    import isvins_tpu.solver.window as Wm
+    from isvins_tpu.parallel import make_batch_problem
+    from isvins_tpu.solver import WindowDims
+
+    dims = WindowDims(B=10, Vo=4, F=64, N=256)
+    state, imu, proj, priors, G, psi = make_batch_problem(1, dims, dtype=jnp.float32)
+    sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+    st, im = sq(state), sq(imu)
+    old = Wm.USE_PALLAS_IMU
+    try:
+        Wm.USE_PALLAS_IMU = False
+        r0, J0, c0 = Wm._eval_imu(st, im, G, dims)
+        Wm.USE_PALLAS_IMU = True
+        r1, J1, c1 = Wm._eval_imu(st, im, G, dims)
+    finally:
+        Wm.USE_PALLAS_IMU = old
+    rs = float(jnp.abs(r0).max())
+    Js = float(jnp.abs(J0).max())
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               atol=2e-6 * rs, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J0),
+                               atol=2e-6 * Js, rtol=1e-5)
