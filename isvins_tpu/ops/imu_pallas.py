@@ -301,6 +301,26 @@ def _imu_kernel(X_ref, Y_ref):
     Y_ref[:, :] = jnp.concatenate([p[None, :] for p in out], axis=0)
 
 
+def _imu_rows_ref(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
+                  dP, dQ, dV, sum_dt, ba0, bg0, jac, G):
+    """XLA reference with the kernel's signature (vmap fallback)."""
+    from ..factors.preintegration import Preintegration, imu_residual_jacobians
+
+    def one(k):
+        pre = Preintegration(
+            dP[k], dQ[k], dV[k], jac[k],
+            jnp.zeros((15, 15), dP.dtype), sum_dt[k], ba0[k], bg0[k],
+        )
+        return imu_residual_jacobians(
+            pre, G, Pi[k], Qi[k], Vi[k], Bai[k], Bgi[k],
+            Pj[k], Qj[k], Vj[k], Baj[k], Bgj[k],
+        )
+
+    r, J_pi, J_vbi, J_pj, J_vbj = jax.vmap(one)(jnp.arange(Pi.shape[0]))
+    return r, jnp.concatenate([J_pi, J_vbi, J_pj, J_vbj], axis=2)
+
+
+@jax.custom_batching.custom_vmap
 def imu_rows_pallas(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
                     dP, dQ, dV, sum_dt, ba0, bg0, jac, G):
     """Fused IMU factor evaluation for n factors.
@@ -339,3 +359,14 @@ def imu_rows_pallas(Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
     r = Y[:15, :n].T  # (n, 15)
     Jcat = Y[15:, :n].reshape(15, 30, n).transpose(2, 0, 1)  # (n, 15, 30)
     return r, Jcat
+
+
+@imu_rows_pallas.def_vmap
+def _imu_rows_batch_rule(axis_size, in_batched, *args):
+    # Batched solves (sequence parallelism) take the XLA path: vmapping the
+    # ungridded kernel would add a Mosaic grid dimension over the lane-packed
+    # layout, which neither tiles well nor compiles on all toolchains.
+    bc = lambda x, b: x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    args = [bc(a, b) for a, b in zip(args, in_batched)]
+    out = jax.vmap(_imu_rows_ref)(*args)
+    return out, (True, True)
