@@ -114,6 +114,10 @@ class SolverConfig:
     td: float = 0.0
     excitation_threshold: float = 0.25  # checkIMUExcitation (estimator.cpp:232)
     outlier_reproj_px: float = 3.0  # post-solve mean-reprojection culling gate
+    # steady-state window-solve precision: float32 runs the TPU-native Pallas
+    # kernels at full rate; marginalization eigendecompositions and the init
+    # BA always stay float64 regardless (mixed-precision split)
+    solve_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -124,6 +128,8 @@ class PoseGraphConfig:
     keyframe_min_dist: float = 0.1  # accumulate edges until this length (pose_graph_builder.cpp:158)
     skip_recent: int = 50  # don't match against the last N keyframes (pose_graph.cpp:153)
     top_k: int = 4  # query candidates
+    retrieval_match_thresh: int = 40  # Hamming bits for retrieval match counting
+    retrieval_abs_frac: float = 0.2  # min fraction of matched query descriptors
     hamming_thresh: int = 80  # descriptor match threshold (keyframe.cpp:92)
     min_loop_matches: int = 25  # MIN_LOOP_NUM
     pnp_inlier_thresh: float = 10.0 / 460.0  # normalized-plane RANSAC threshold

@@ -289,7 +289,15 @@ class Estimator:
                 info["init"] = ok
                 if ok:
                     self.solver_flag = NON_LINEAR
+                    self._init_converged = True
                     self.solve_odometry(first=True)
+                    if not self._init_converged:
+                        # alignment never converged: the init-window scale is
+                        # untrustworthy — restart accumulation rather than
+                        # freeze a wrong-scale prior (see solve_odometry)
+                        info["init"] = False
+                        self.clear_state()
+                        return info
                     self.slide_window()
                     self.f_manager.remove_failures()
                     info["solved"] = True
@@ -328,16 +336,21 @@ class Estimator:
             self.Bgs[:] = Bg
 
     # ------------------------------------------------------------------ solve
-    def _window_state(self) -> WindowState:
+    def _window_state(self, dtype=None) -> WindowState:
+        """Window state as a device pytree. `dtype` selects the solve
+        precision: the steady-state product path casts to float32 here (the
+        mixed-precision split promised in __init__.py — Pallas kernels and the
+        MXU run f32), while marginalization (eigendecompositions) and the init
+        BA call with dtype=None and stay float64."""
         return WindowState(
-            P=jnp.asarray(self.Ps),
-            Q=jnp.asarray(self.Qs),
-            V=jnp.asarray(self.Vs),
-            Ba=jnp.asarray(self.Bas),
-            Bg=jnp.asarray(self.Bgs),
-            tic=jnp.asarray(self.tic),
-            qic=jnp.asarray(self.qic),
-            dep=jnp.asarray(self.f_manager.depth_vector()),
+            P=jnp.asarray(self.Ps, dtype),
+            Q=jnp.asarray(self.Qs, dtype),
+            V=jnp.asarray(self.Vs, dtype),
+            Ba=jnp.asarray(self.Bas, dtype),
+            Bg=jnp.asarray(self.Bgs, dtype),
+            tic=jnp.asarray(self.tic, dtype),
+            qic=jnp.asarray(self.qic, dtype),
+            dep=jnp.asarray(self.f_manager.depth_vector(), dtype),
         )
 
     def _imu_factors(self) -> ImuFactors:
@@ -359,12 +372,13 @@ class Estimator:
         )
         return ImuFactors.create(pre=pre, valid=jnp.asarray(valid))
 
-    def _solve_once(self, priors: PriorState, iters: int):
+    def _solve_once(self, priors: PriorState, iters: int, dtype=None):
         """One triangulate + window solve + gauge re-anchor pass. Returns the
-        projection-factor dict (reused by marginalization)."""
+        projection-factor dict (reused by marginalization). `dtype` casts the
+        whole solve (state, factors, priors); host state stays float64."""
         self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
 
-        state = self._window_state()
+        state = self._window_state(dtype)
         imu_f = self._imu_factors()
         pf = self.f_manager.build_proj_factors(
             self.dims.N, marg_old=(self.marginalization_flag == MARGIN_OLD)
@@ -373,12 +387,18 @@ class Estimator:
             idx_i=jnp.asarray(pf["idx_i"]),
             idx_j=jnp.asarray(pf["idx_j"]),
             fidx=jnp.asarray(pf["fidx"]),
-            pts_i=jnp.asarray(pf["pts_i"]),
-            pts_j=jnp.asarray(pf["pts_j"]),
+            pts_i=jnp.asarray(pf["pts_i"], dtype),
+            pts_j=jnp.asarray(pf["pts_j"], dtype),
             valid=jnp.asarray(pf["valid"]),
         )
-        G = jnp.asarray(self.G)
-        psi = jnp.asarray(self.cfg.noise.pixel_sqrt_info)
+        if dtype is not None:
+            cast = lambda a: (
+                a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+            )
+            imu_f = jax.tree_util.tree_map(cast, imu_f)
+            priors = jax.tree_util.tree_map(cast, priors)
+        G = jnp.asarray(self.G, dtype)
+        psi = jnp.asarray(self.cfg.noise.pixel_sqrt_info, dtype)
 
         old_P = self.Ps.copy()
         old_Q = self.Qs.copy()
@@ -392,17 +412,81 @@ class Estimator:
         # double2vector: yaw/position gauge re-anchoring (:518–594)
         new_state = self._reanchor(new_state, old_P[0], old_Q[0])
 
-        self.Ps = np.array(new_state.P)
-        self.Qs = np.array(new_state.Q)
-        self.Vs = np.array(new_state.V)
-        self.Bas = np.array(new_state.Ba)
-        self.Bgs = np.array(new_state.Bg)
+        self.Ps = np.array(new_state.P, dtype=np.float64)
+        self.Qs = np.array(new_state.Q, dtype=np.float64)
+        self.Vs = np.array(new_state.V, dtype=np.float64)
+        self.Bas = np.array(new_state.Ba, dtype=np.float64)
+        self.Bgs = np.array(new_state.Bg, dtype=np.float64)
         if self.estimate_extrinsic:
-            self.tic = np.array(new_state.tic)
-            self.qic = np.array(new_state.qic)
-        self.f_manager.set_depths(np.asarray(new_state.dep))
+            self.tic = np.array(new_state.tic, dtype=np.float64)
+            self.qic = np.array(new_state.qic, dtype=np.float64)
+        self.f_manager.set_depths(np.asarray(new_state.dep, dtype=np.float64))
         self.last_cost = float(cost)
         return pf
+
+    def _init_scale_scan(self, iters: int = 8):
+        """Parallel-hypothesis global-scale search (init only).
+
+        The closed-form visual-inertial alignment is an errors-in-variables
+        regression: the SfM translations multiply the scale unknown, so
+        1%-level structured SfM translation error attenuates the solved scale
+        toward zero (measured on the loop-closure e2e world: true relative
+        scale 0.75, alignment returned 0.093; 1% synthetic T noise alone
+        collapses it to 0.003). LM cannot recover afterwards: the wrong-scale
+        window is a LOCAL minimum separated from the true basin by a
+        scale/accel-bias ridge (cost 486 vs 61 on that window, 50 LM
+        iterations stay at 486).
+
+        Instead of trusting the diluted regression, scan the scale direction
+        explicitly: the projection cost is invariant to scaling (P about P0,
+        V, depths), so the window cost along the scale axis is pure IMU
+        information. vmap solve_window over log-spaced scale candidates (one
+        batched device program), adopt the deepest basin. The curve's
+        contrast doubles as an OBSERVABILITY gate: a flat curve means the
+        window cannot identify scale and initialization must be refused
+        (reference analogue: checkIMUExcitation, estimator.cpp:213–238, which
+        gates on raw accelerometer variance rather than the actual
+        identifiability of the solve).
+
+        Returns (best_scale, costs, scales)."""
+        self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
+        state = self._window_state()
+        imu_f = self._imu_factors()
+        pf = self.f_manager.build_proj_factors(self.dims.N, marg_old=False)
+        proj = ProjFactors(
+            idx_i=jnp.asarray(pf["idx_i"]),
+            idx_j=jnp.asarray(pf["idx_j"]),
+            fidx=jnp.asarray(pf["fidx"]),
+            pts_i=jnp.asarray(pf["pts_i"]),
+            pts_j=jnp.asarray(pf["pts_j"]),
+            valid=jnp.asarray(pf["valid"]),
+        )
+        G = jnp.asarray(self.G)
+        psi = jnp.asarray(self.cfg.noise.pixel_sqrt_info)
+        priors = PriorState.empty(self.dims.Vo)
+        scales = np.array([0.25, 0.4, 0.6, 0.8, 1.0, 1.3, 1.8, 2.6, 4.0])
+
+        def one(s):
+            st = state._replace(
+                P=(state.P - state.P[0]) * s + state.P[0],
+                V=state.V * s,
+                dep=state.dep / s,
+            )
+            return solve_window(st, imu_f, proj, priors, G, psi, self.dims,
+                                iters=iters)
+
+        sts, costs = jax.vmap(one)(jnp.asarray(scales))
+        costs = np.asarray(costs)
+        best = int(np.nanargmin(costs))
+        best_state = jax.tree_util.tree_map(lambda a: a[best], sts)
+        best_state = self._reanchor(best_state, self.Ps[0], self.Qs[0])
+        self.Ps = np.array(best_state.P, dtype=np.float64)
+        self.Qs = np.array(best_state.Q, dtype=np.float64)
+        self.Vs = np.array(best_state.V, dtype=np.float64)
+        self.Bas = np.array(best_state.Ba, dtype=np.float64)
+        self.Bgs = np.array(best_state.Bg, dtype=np.float64)
+        self.f_manager.set_depths(np.asarray(best_state.dep, dtype=np.float64))
+        return float(scales[best]), costs, scales
 
     def solve_odometry(self, first: bool = False):
         """triangulate + solve + prior drag + marg (solveOdometry /
@@ -422,18 +506,61 @@ class Estimator:
             # any residual attitude error at sparsification time is frozen
             # into the rollpitch/VB priors (a 4 deg error leaks ~0.7 m/s^2 of
             # gravity into the dynamics and diverges the whole run).
+            # Alternate to CONVERGENCE (realign reports "converged"), not a
+            # fixed 2 rounds: on weakly-excited windows the SfM-seeded scale
+            # can start 8x off and each round only contracts it, so 2 rounds
+            # left a 3x scale error that poisoned the init priors and the
+            # whole run (loop-closure e2e world). If the alternation never
+            # converges, the caller must reject the init and retry later —
+            # signaled via self._init_converged.
             from .vi_init import realign_window
 
             self._solve_once(
                 PriorState.empty(self.dims.Vo), self.cfg.solver.init_max_iterations
             )
-            for _ in range(2):
-                if not realign_window(self):
+            status = {}
+            for _ in range(4):
+                if not realign_window(self, status):
                     break
                 self._solve_once(
                     PriorState.empty(self.dims.Vo),
                     self.cfg.solver.init_max_iterations,
                 )
+            # parallel-hypothesis scale search + observability gate (the
+            # alignment above is an attenuated errors-in-variables regression
+            # and can leave an arbitrarily wrong global scale; see
+            # _init_scale_scan)
+            s_best, costs, scales = self._init_scale_scan()
+            if s_best in (scales[0], scales[-1]):
+                # basin at the scan edge: true scale may lie outside the
+                # candidate range — re-scan centered on the adopted state
+                s2, costs, scales = self._init_scale_scan()
+                s_best *= s2
+            finite = np.isfinite(costs)
+            if not finite.any():
+                self._init_converged = False
+            else:
+                c_best = float(np.nanmin(costs))
+                c_max = float(np.nanmax(costs[finite]))
+                # flatness gate: if no scale in a 16x range changes the cost
+                # by >=30%, the window cannot identify scale at all — refuse
+                # to initialize rather than freeze an arbitrary one into the
+                # priors (reference analogue: checkIMUExcitation)
+                self._init_converged = c_max > 1.3 * max(c_best, 1e-9)
+            _log.info(
+                "init scale scan: best s=%.2f costs=%s converged=%s",
+                s_best, np.array2string(costs, precision=1), self._init_converged,
+            )
+            if not self._init_converged:
+                _log.warning(
+                    "init scale unobservable (scan costs %s); rejecting "
+                    "initialization", np.array2string(costs, precision=1),
+                )
+                return
+            # polish at the adopted scale
+            self._solve_once(
+                PriorState.empty(self.dims.Vo), self.cfg.solver.init_max_iterations
+            )
             pre_vo = jax.tree_util.tree_map(
                 lambda a: a[: self.dims.Vo - 1], self._imu_factors().pre
             )
@@ -448,7 +575,12 @@ class Estimator:
         old_Ba = self.Bas.copy()
         old_Bg = self.Bgs.copy()
 
-        pf = self._solve_once(self.priors, self.cfg.solver.max_iterations)
+        # steady-state solve precision (mixed-precision split): f32 feeds the
+        # TPU Pallas kernels; init BA above and marginalization below are f64
+        sdt = (
+            jnp.float32 if self.cfg.solver.solve_dtype == "float32" else None
+        )
+        pf = self._solve_once(self.priors, self.cfg.solver.max_iterations, dtype=sdt)
 
         # post-solve reprojection outlier culling (flagged rows are erased by
         # remove_failures after the slide; see FeatureManager.mark_outliers)
@@ -580,27 +712,41 @@ class Estimator:
         self._export_keyframe_points()
 
     def _export_keyframe_points(self):
+        """Export world points + their frame-0 normalized projections for the
+        pose graph keyframe (System.cpp:356–397). The reference exports only
+        features *observed* at frame 0 (start_frame==0); we export EVERY
+        solved landmark in the window projected into frame 0's camera — the
+        keyframe image contains all visible landmarks whether or not the
+        tracker held their track to frame 0, and loop verification (PnP on
+        these 3D points) is starved without them (measured: observed-only
+        export yields ~5 matchable points per keyframe on a 70-feature
+        synthetic run vs min_loop_matches=15). Out-of-view projections are
+        filtered here (z) and by the builder (image bounds)."""
         fm = self.f_manager
         good = fm.good_mask() & (fm.depth > 0)
-        rows = np.where(good & fm.has_obs[:, 0])[0]
+        rows = np.where(good)[0]
         if len(rows) == 0:
             self.keyframe_points.append(
                 KeyframePoints(self.Headers[0], np.zeros((0, 3)), np.zeros((0, 2)), np.zeros(0))
             )
             return
         hosts = fm.start[rows]
-        pts_i = fm.obs[rows, hosts]
+        pts_i = fm.obs[rows, hosts]  # (n,3) normalized bearing in host cam
         depths = fm.depth[rows]
         R = np.asarray(quat_to_mat(jnp.asarray(self.Qs)))
         Ric = np.asarray(quat_to_mat(jnp.asarray(self.qic)))
-        pw = []
-        for r, h, pi, d in zip(rows, hosts, pts_i, depths):
-            pc = pi * d
-            pb = Ric @ pc + self.tic
-            pw.append(R[h] @ pb + self.Ps[h])
-        obs0 = fm.obs[rows, 0][:, :2]
+        # world points from host-frame inverse depth (vectorized)
+        pc = pts_i * depths[:, None]
+        pb = pc @ Ric.T + self.tic
+        pw = np.einsum("nij,nj->ni", R[hosts], pb) + self.Ps[hosts]
+        # project into frame-0 camera
+        Rc0 = R[0] @ Ric
+        Pc0 = self.Ps[0] + R[0] @ self.tic
+        p0 = (pw - Pc0) @ Rc0
+        vis = p0[:, 2] > 0.1
+        norm0 = p0[vis, :2] / p0[vis, 2:3]
         self.keyframe_points.append(
-            KeyframePoints(self.Headers[0], np.asarray(pw), obs0, fm.ids[rows].copy())
+            KeyframePoints(self.Headers[0], pw[vis], norm0, fm.ids[rows[vis]].copy())
         )
 
     # ------------------------------------------------------------- failure

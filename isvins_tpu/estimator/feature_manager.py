@@ -178,13 +178,21 @@ class FeatureManager:
         return out
 
     def set_depths(self, inv_dep: np.ndarray):
-        """Write back solver results (setDepth, feature_manager.cpp:145–163)."""
+        """Write back solver results (setDepth, feature_manager.cpp:145–163).
+
+        Failure flag (solve_flag=2 -> removed) only for NEGATIVE solved depth,
+        like the reference. An earlier >10 m kill-gate here was wrong: scenes
+        with legitimately far structure (machine-hall walls at 6–12 m) lost
+        most of their tracks every solve and the starved window dead-reckoned
+        to divergence (measured on the loop-closure e2e world: good-feature
+        count 50 -> <10 within 40 frames). Far depths are clamped to
+        max_depth instead."""
         good = self.good_mask()
         rows = np.where(good)[0]
         inv = np.asarray(inv_dep)[rows]
         depth = np.where(np.abs(inv) > 1e-8, 1.0 / inv, -1.0)
-        self.depth[rows] = depth
-        self.solve_flag[rows] = np.where((depth < 0) | (depth > 10), 2, 1)
+        self.solve_flag[rows] = np.where(depth < 0, 2, 1)
+        self.depth[rows] = np.where(depth > 0, np.minimum(depth, self.max_depth), depth)
 
     def remove_failures(self):
         kill = self.active() & ((self.solve_flag == 2) | self.outlier)

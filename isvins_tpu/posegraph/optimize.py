@@ -51,7 +51,19 @@ def _optimize_core(
     D = 6 * K
     dtype = t.dtype
 
-    def build(tq):
+    def build(tq, anneal=None):
+        """anneal: None for the plain Huber(delta) weighting; else a scalar
+        in (0,1] that RAISES each loop edge's Huber delta to
+        max(delta, anneal * ||r_w||) — graduated non-convexity. With the
+        reference's fixed Huber(0.1) on sqrt(w)-whitened loop residuals
+        (pose_graph.cpp:271,335), a first loop closure that fires after
+        meters of accumulated drift starts with ||r_w|| >> delta, its IRLS
+        weight collapses to delta/||r_w||, and 10 GN iterations move the
+        graph by <0.1% of the drift (measured on the loop e2e world:
+        rmse_opt == rmse_vio to 4 digits). Annealing from the residual's own
+        scale keeps the first iterations convex and recovers the robust
+        estimator by the last iteration; false loops remain protected by the
+        geometric verification gates AND the final-delta iterations."""
         tt, qq = tq
 
         # sequential edges k -> k+1
@@ -83,7 +95,11 @@ def _optimize_core(
             )
             s = jnp.sqrt(jnp.maximum(loop_w[l], 0.0))
             r_w = s * r
-            hw = _huber_weight(jnp.sum(r_w * r_w), huber_delta)
+            rsq = jnp.sum(r_w * r_w)
+            delta = huber_delta
+            if anneal is not None:
+                delta = jnp.maximum(delta, anneal * jnp.sqrt(rsq + 1e-18))
+            hw = _huber_weight(rsq, delta)
             m = loop_valid[l].astype(dtype) * hw * s
             return r * m, Ji * m, Jj * m
 
@@ -113,9 +129,12 @@ def _optimize_core(
         cost = 0.5 * jnp.sum(r * r)
         return H, b, cost
 
-    def step(_, tq):
+    def step(i, tq):
         tt, qq = tq
-        H, b, _ = build((tt, qq))
+        # GNC schedule: anneal 1.0 -> ~0 over the iterations, floored by the
+        # plain delta inside build
+        anneal = jnp.exp(-1.2 * i.astype(dtype))
+        H, b, _ = build((tt, qq), anneal)
         Hd = H + 1e-8 * jnp.eye(D, dtype=dtype)
         dx = jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(Hd), True), b)
         d = dx.reshape(K, 6)

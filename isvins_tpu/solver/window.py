@@ -289,13 +289,27 @@ def _eval_imu(state: WindowState, imu: ImuFactors, G, dims: WindowDims):
 
 def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: WindowDims,
                estimate_extrinsic: bool = False):
-    """Whitened+robust projection residuals (N,2), REDUCED dense rows
-    (N,2,6B+6) over [pose columns | extrinsic] (projection factors never
-    touch speed/bias columns — carrying the 9B zero columns through the
-    normal-equation matmuls wastes ~60% of the dominant J^T J work),
-    landmark partials (N,2), cost."""
-    B, D = dims.B, dims.D
+    """Whitened+robust projection residuals (N,2) and COMPACT block
+    Jacobians J_pi/J_pj/J_ex (N,2,6) + landmark partials (N,2) + cost vector.
+    The caller accumulates the normal equations block-wise — the dense
+    (N,2,6B) row expansion this used to return cost more in TPU layout
+    copies than the whole factor evaluation (see build_normal_equations)."""
+    B, F, D = dims.B, dims.F, dims.D
     dtype = state.P.dtype
+
+    # Per-observation state lookups as one-hot matmuls, not gathers: on TPU
+    # a row gather of (N,) indices lowers to a serialized gather fusion
+    # (~130-190 us each at N=3072 batched x8, 5 of them per LM iteration,
+    # profiled); a (N,B)x(B,k) one-hot product is MXU work and the one-hots
+    # are reused by the block accumulation in build_normal_equations.
+    oh_i = _pose_cols_onehot(proj.idx_i, B, dtype)
+    oh_j = _pose_cols_onehot(proj.idx_j, B, dtype)
+    oh_f = jax.nn.one_hot(proj.fidx, F, dtype=dtype)
+    P_i = oh_i @ state.P
+    Q_i = oh_i @ state.Q
+    P_j = oh_j @ state.P
+    Q_j = oh_j @ state.Q
+    dep_g = oh_f @ state.dep
 
     if not estimate_extrinsic:
         # component-planes fast path (solver/proj_fast.py): elementwise over
@@ -307,26 +321,22 @@ def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: Win
             from .proj_fast import eval_proj_rows as _proj_rows
 
         r, J_pi, J_pj, J_dep = _proj_rows(
-            proj.pts_i, proj.pts_j,
-            state.P[proj.idx_i], state.Q[proj.idx_i],
-            state.P[proj.idx_j], state.Q[proj.idx_j],
-            state.tic, state.qic, state.dep[proj.fidx], proj.valid,
+            proj.pts_i, proj.pts_j, P_i, Q_i, P_j, Q_j,
+            state.tic, state.qic, dep_g, proj.valid,
         )
         J_ex = jnp.zeros((proj.pts_i.shape[0], 2, 6), dtype)
     else:
 
-        def one(pi, pj, ii, ij, f, v):
+        def one(pi, pj, Pi, Qi, Pj, Qj, d, v):
             # sanitize BEFORE evaluation: masked rows must not produce NaN
             # (NaN * 0 = NaN would leak through the validity mask)
-            d = state.dep[f]
             d = jnp.where(v & (jnp.abs(d) > 1e-8), d, 1.0)
             return projection_residual_jacobians(
-                pi, pj, state.P[ii], state.Q[ii], state.P[ij], state.Q[ij],
-                state.tic, state.qic, d,
+                pi, pj, Pi, Qi, Pj, Qj, state.tic, state.qic, d,
             )
 
         r, J_pi, J_pj, J_ex, J_dep = jax.vmap(one)(
-            proj.pts_i, proj.pts_j, proj.idx_i, proj.idx_j, proj.fidx, proj.valid
+            proj.pts_i, proj.pts_j, P_i, Q_i, P_j, Q_j, dep_g, proj.valid
         )
     s = pixel_sqrt_info
     vw = proj.valid.astype(dtype)
@@ -338,15 +348,8 @@ def _eval_proj(state: WindowState, proj: ProjFactors, pixel_sqrt_info, dims: Win
     J_ex = J_ex * w[:, None, None]
     J_dep = J_dep * w[:, None]
 
-    oh_i = _pose_cols_onehot(proj.idx_i, B, dtype)
-    oh_j = _pose_cols_onehot(proj.idx_j, B, dtype)
-    # reduced layout: [0, 6B) pose columns, [6B, 6B+6) extrinsic
-    Jrows = jnp.concatenate(
-        [_expand_pose_block(J_pi, oh_i) + _expand_pose_block(J_pj, oh_j), J_ex],
-        axis=2,
-    )
     cvec = 0.5 * _cauchy_rho(r_sq) * vw  # see _eval_imu cost-vector note
-    return r_w, Jrows, J_dep, cvec
+    return r_w, J_pi, J_pj, J_ex, J_dep, cvec, (oh_i, oh_j, oh_f)
 
 
 
@@ -449,15 +452,21 @@ def build_normal_equations(
 ):
     """Returns (H (D,D), b (D,), h (F,), W (F,Dr), b_l (F,), cost), with the
     landmark coupling W in the REDUCED column layout Dr = 6B+6
-    ([pose | extrinsic]) — projection factors never touch speed/bias
-    columns, so the heavy (2N x cols) matmuls run at 114 columns instead
-    of 276 and are block-inserted into the full system."""
+    ([pose | extrinsic]) — projection factors never touch speed/bias columns.
+
+    The projection Hessian is accumulated BLOCK-WISE: per observation the
+    compact 6x6 products (J_pi^T J_pj etc.) are formed first and placed into
+    the (B,B) block grid with small one-hot matmuls. The previous row
+    expansion materialized (N,2,6B) dense Jacobian rows; profiled batched x8
+    on v5e those rows cost ~1.7 ms/LM-iteration of pure layout copies
+    (f32[8,3072,2,18,6] retilings) — 60% of the whole iteration — while the
+    block path's largest intermediate is the (N, B^2) placement one-hot."""
     B, F, D = dims.B, dims.F, dims.D
     Dr = 6 * B + 6
     dtype = state.P.dtype
 
     r_imu, J_imu, cv_imu = _eval_imu(state, imu, G, dims)
-    r_proj, J_proj, J_dep, cv_proj = _eval_proj(
+    r_proj, J_pi, J_pj, J_ex, J_dep, cv_proj, (oh_i, oh_j, oh_f) = _eval_proj(
         state, proj, pixel_sqrt_info, dims, estimate_extrinsic
     )
     prior_rows, cv_prior = _eval_priors(state, priors, dims)
@@ -467,36 +476,63 @@ def build_normal_equations(
     all_J = [J_imu.reshape(-1, D)] + [J for _, J in prior_rows]
     Jip = jnp.concatenate(all_J, axis=0)
     rip = jnp.concatenate(all_r, axis=0)
-
-    # projection rows in the reduced layout (the bulk of the system)
-    n_obs = proj.fidx.shape[0]
-    Jp = J_proj.reshape(2 * n_obs, Dr)
-    rp = r_proj.reshape(-1)
     if not estimate_extrinsic:
-        exmask = jnp.ones(Dr, dtype).at[6 * B :].set(0.0)
-        Jp = Jp * exmask[None, :]
         Jip = Jip * jnp.ones(D, dtype).at[15 * B :].set(0.0)[None, :]
-
-    Hp = _atb(Jp, Jp)  # (Dr, Dr)
-    bp = -_atb(Jp, rp)
     H = _atb(Jip, Jip)
     b = -_atb(Jip, rip)
-    # block-insert the reduced projection system: pose block + ex block
-    H = H.at[: 6 * B, : 6 * B].add(Hp[: 6 * B, : 6 * B])
-    H = H.at[: 6 * B, 15 * B :].add(Hp[: 6 * B, 6 * B :])
-    H = H.at[15 * B :, : 6 * B].add(Hp[6 * B :, : 6 * B])
-    H = H.at[15 * B :, 15 * B :].add(Hp[6 * B :, 6 * B :])
-    b = b.at[: 6 * B].add(bp[: 6 * B])
-    b = b.at[15 * B :].add(bp[6 * B :])
-    if not estimate_extrinsic:
+
+    # ---- projection block accumulation (reduced layout) ----
+    G_ii = jnp.einsum("nra,nrb->nab", J_pi, J_pi).reshape(-1, 36)
+    G_jj = jnp.einsum("nra,nrb->nab", J_pj, J_pj).reshape(-1, 36)
+    G_ij = jnp.einsum("nra,nrb->nab", J_pi, J_pj).reshape(-1, 36)
+    g_i = jnp.einsum("nra,nr->na", J_pi, r_proj)
+    g_j = jnp.einsum("nra,nr->na", J_pj, r_proj)
+
+    diag = _atb(oh_i, G_ii) + _atb(oh_j, G_jj)  # (B, 36)
+    pair = jnp.einsum("na,nb->nab", oh_i, oh_j).reshape(-1, B * B)  # (N, B^2)
+    offd = _atb(pair, G_ij).reshape(B, B, 6, 6)
+    # H block grid = off-diagonal (i,j) + its transpose (j,i) + diagonal
+    eyeB = jnp.eye(B, dtype=dtype)
+    Hblk = (
+        offd
+        + jnp.swapaxes(jnp.swapaxes(offd, 0, 1), 2, 3)
+        + jnp.einsum("bq,bc->bcq", diag, eyeB).reshape(B, B, 6, 6)
+    )
+    H_pose = Hblk.transpose(0, 2, 1, 3).reshape(6 * B, 6 * B)
+    b_pose = -(_atb(oh_i, g_i) + _atb(oh_j, g_j)).reshape(6 * B)
+
+    H = H.at[: 6 * B, : 6 * B].add(H_pose)
+    b = b.at[: 6 * B].add(b_pose)
+
+    # landmark coupling rows (compact): w into block i / block j, ex tail
+    wi = jnp.einsum("nr,nra->na", J_dep, J_pi)  # (N,6)
+    wj = jnp.einsum("nr,nra->na", J_dep, J_pj)
+    Wrows = (
+        jnp.einsum("na,nb->nba", wi, oh_i) + jnp.einsum("na,nb->nba", wj, oh_j)
+    ).reshape(-1, 6 * B)
+
+    if estimate_extrinsic:
+        G_ie = jnp.einsum("nra,nrb->nab", J_pi, J_ex).reshape(-1, 36)
+        G_je = jnp.einsum("nra,nrb->nab", J_pj, J_ex).reshape(-1, 36)
+        G_ee = jnp.einsum("nra,nrb->ab", J_ex, J_ex)
+        g_e = jnp.einsum("nra,nr->a", J_ex, r_proj)
+        E = (_atb(oh_i, G_ie) + _atb(oh_j, G_je)).reshape(B, 6, 6)
+        E_rows = E.transpose(0, 1, 2).reshape(6 * B, 6)
+        H = H.at[: 6 * B, 15 * B :].add(E_rows)
+        H = H.at[15 * B :, : 6 * B].add(E_rows.T)
+        H = H.at[15 * B :, 15 * B :].add(G_ee)
+        b = b.at[15 * B :].add(-g_e)
+        we = jnp.einsum("nr,nra->na", J_dep, J_ex)
+        Wrows = jnp.concatenate([Wrows, we], axis=1)
+    else:
         H = H.at[15 * B :, 15 * B :].add(jnp.eye(6, dtype=dtype))
+        Wrows = jnp.concatenate(
+            [Wrows, jnp.zeros((Wrows.shape[0], 6), dtype)], axis=1
+        )
 
     # landmark system: per-feature scalar Hessian + coupling row (reduced).
     # One one-hot matmul replaces three segment_sum scatters — scatters
     # serialize on TPU; a (F x N)(N x Dr+2) matmul is MXU work.
-    Wrows = jnp.einsum("nr,nrd->nd", J_dep, J_proj)
-    if not estimate_extrinsic:
-        Wrows = Wrows.at[:, 6 * B :].set(0.0)
     payload = jnp.concatenate(
         [
             jnp.sum(J_dep * J_dep, axis=-1, keepdims=True),
@@ -505,7 +541,6 @@ def build_normal_equations(
         ],
         axis=1,
     )  # (N, 1 + Dr + 1)
-    oh_f = jax.nn.one_hot(proj.fidx, F, dtype=dtype)  # (N, F)
     agg = _atb(oh_f, payload)  # (F, Dr + 2)
     h = agg[:, 0]
     W = agg[:, 1 : 1 + Dr]
@@ -518,7 +553,7 @@ def build_normal_equations(
 def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
     """Robust cost only (cheap path for LM accept tests)."""
     _, _, cv_imu = _eval_imu(state, imu, G, dims)
-    _, _, _, cv_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)
+    cv_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)[5]
     _, cv_prior = _eval_priors(state, priors, dims)
     return jnp.sum(jnp.concatenate([cv_imu, cv_proj, cv_prior]))
 
@@ -552,7 +587,7 @@ def solve_window(
     dtype = state.P.dtype
     use_pallas = (
         use_pallas_schur if use_pallas_schur is not None else _pallas_schur_enabled()
-    )
+    ) and dtype == jnp.float32  # kernel computes/stores f32; f64 keeps XLA path
     # fused linear step: f32 only (the kernel computes in f32); f64 solves
     # (init BA on CPU tests) keep the XLA path
     use_linstep = (
