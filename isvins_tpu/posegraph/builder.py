@@ -441,3 +441,16 @@ class PoseGraphBuilder:
         equivalent, pose_graph.cpp:412–423)."""
         n = self.db.n
         return self.db.ts[:n].copy(), self.db.opt_t[:n].copy(), self.db.opt_q[:n].copy()
+
+    def covariances(self):
+        """(ts, opt_t, cov (n,6,6)) — the per-keyframe 6x6 covariance blocks
+        of the latest pose-graph solve (ceres::Covariance parity; the
+        reference renders these as live ellipses, pose_graph_builder.cpp:
+        272–301 — surfaced here for the text dump / offline plot in
+        utils/visualization.py)."""
+        n = self.db.n
+        return (
+            self.db.ts[:n].copy(),
+            self.db.opt_t[:n].copy(),
+            self.db.cov[:n].copy(),
+        )

@@ -198,3 +198,13 @@ class System:
                 f"{ts[i]:.9f} {P[0]} {P[1]} {P[2]} {Q[1]} {Q[2]} {Q[3]} {Q[0]}"
             )
         return "\n".join(lines)
+
+    def covariance_tum(self) -> str:
+        """Per-keyframe 6x6 covariance dump (the reference's live Pangolin
+        ellipses, pose_graph_builder.cpp:272–301, as a text artifact)."""
+        if self.pgbuilder is None:
+            return ""
+        from .utils.visualization import covariance_tum
+
+        ts, t_opt, cov = self.pgbuilder.covariances()
+        return covariance_tum(ts, t_opt, cov)

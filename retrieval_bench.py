@@ -140,11 +140,19 @@ def build_db(n_kf: int, seed: int = 4):
     return db, gt_t, gt_yaw, world, R_bc
 
 
-def evaluate(db, gt_t, gt_yaw, cfg_pg, dist_gate=1.0, yaw_gate=30.0):
+def evaluate(db, gt_t, gt_yaw, cfg_pg, dist_gate=1.0, yaw_gate=30.0,
+             gt_q=None, rel_t_gate=0.3, rel_yaw_gate=5.0):
+    """Retrieval truth: an older keyframe within (dist_gate, yaw_gate) of the
+    query's GT pose. Verified-loop truth: the MEASURED loop relative pose
+    (loop_dt/loop_dq, what the pose graph consumes) matches the GT relative
+    pose within (rel_t_gate, rel_yaw_gate) — a loop against a 1.5 m-away
+    keyframe with an accurate relative pose is a GOOD loop."""
+    from isvins_tpu.geom import quat_to_mat, mat_to_ypr
+
     n = db.n
     skip = cfg_pg.skip_recent
     stats = dict(q_with_truth=0, q_recall_hits=0, cand_total=0, cand_true=0,
-                 ver_fired=0, ver_true=0, q_ver_hits=0)
+                 ver_fired=0, ver_true=0, q_ver_hits=0, rel_errs=[])
 
     # builder shell for _find_connection (no camera: norm coords stored)
     cfg = euroc_config().replace(posegraph=cfg_pg, tic=(0.0, 0.0, 0.0),
@@ -176,9 +184,19 @@ def evaluate(db, gt_t, gt_yaw, cfg_pg, dist_gate=1.0, yaw_gate=30.0):
                 break
         if fired >= 0:
             stats["ver_fired"] += 1
-            if truth[fired]:
+            # correctness of the MEASURED relative pose vs GT
+            R_old = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[fired])))
+            rel_t_gt = R_old.T @ (gt_t[idx] - gt_t[fired])
+            e_t = np.linalg.norm(db.loop_dt[idx] - rel_t_gt)
+            dy = abs((gt_yaw[idx] - gt_yaw[fired]) % 360.0)
+            R_meas = np.asarray(quat_to_mat(jnp.asarray(db.loop_dq[idx])))
+            yaw_meas = np.asarray(mat_to_ypr(jnp.asarray(R_meas)))[0]
+            e_y = abs((yaw_meas - (gt_yaw[idx] - gt_yaw[fired]) + 180.0) % 360.0 - 180.0)
+            stats["rel_errs"].append((e_t, e_y))
+            good_loop = e_t < rel_t_gate and e_y < rel_yaw_gate
+            if good_loop:
                 stats["ver_true"] += 1
-            if truth.any() and truth[fired]:
+            if truth.any() and good_loop:
                 stats["q_ver_hits"] += 1
     return stats
 
@@ -197,6 +215,7 @@ def main():
     precision = st["cand_true"] / max(st["cand_total"], 1)
     ver_recall = st["q_ver_hits"] / max(st["q_with_truth"], 1)
     ver_precision = st["ver_true"] / max(st["ver_fired"], 1)
+    errs = np.array(st["rel_errs"]) if st["rel_errs"] else np.zeros((0, 2))
     out = {
         "keyframes": int(db.n),
         "queries_with_truth": st["q_with_truth"],
@@ -205,6 +224,8 @@ def main():
         "verified_loop_recall": round(ver_recall, 3),
         "verified_loop_precision": round(ver_precision, 3),
         "loops_fired": st["ver_fired"],
+        "loop_rel_t_err_median_m": round(float(np.median(errs[:, 0])), 4) if len(errs) else None,
+        "loop_rel_yaw_err_median_deg": round(float(np.median(errs[:, 1])), 3) if len(errs) else None,
     }
     print(json.dumps(out) if args.json else out)
 

@@ -53,6 +53,21 @@ def main():
         f.write(sys_.vio_tum())
     with open(os.path.join(args.out_dir, "loop_pose_output.txt"), "w") as f:
         f.write(sys_.loop_tum())
+    # per-keyframe 6x6 covariances + offline ellipse plot (the reference's
+    # live Pangolin ellipses, pose_graph_builder.cpp:272–301)
+    if sys_.pgbuilder is not None and sys_.pgbuilder.db.n > 0:
+        with open(os.path.join(args.out_dir, "loop_cov_output.txt"), "w") as f:
+            f.write(sys_.covariance_tum())
+        try:
+            from isvins_tpu.utils.visualization import plot_covariance_ellipses
+
+            ts, t_opt, cov = sys_.pgbuilder.covariances()
+            plot_covariance_ellipses(
+                ts, t_opt, cov,
+                os.path.join(args.out_dir, "loop_cov_ellipses.png"),
+            )
+        except Exception as e:  # plotting is best-effort
+            print(f"covariance plot skipped: {e}")
 
     if ds.ground_truth is not None and sys_.vio_trajectory:
         traj = np.array([[t, *P] for (t, P, Q) in sys_.vio_trajectory])

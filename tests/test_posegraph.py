@@ -118,6 +118,60 @@ def test_pose_graph_optimize_closes_loop():
     np.testing.assert_allclose(mapped, db.opt_t[n - 1], atol=1e-8)
 
 
+def test_covariance_grows_then_shrinks_with_loop():
+    """The surfaced per-keyframe covariance (utils/visualization dump) must
+    behave like an uncertainty: grow with distance from the gauge pose along
+    an open chain, and SHRINK at the far end once a loop closure ties it back
+    to the gauge (the property the reference's live ellipse rendering
+    visualizes, pose_graph_builder.cpp:272–301)."""
+    from isvins_tpu.utils.visualization import covariance_tum
+
+    n = 30
+    t_gt, q_gt = _circle_kfs(n)
+
+    def build_db(with_loop):
+        db = KeyframeDB(32, 8, 8)
+        for k in range(n):
+            db.add(ts=float(k), vio_t=t_gt[k], vio_q=q_gt[k],
+                   opt_t=t_gt[k], opt_q=q_gt[k])
+        for k in range(n - 1):
+            qi = jnp.asarray(q_gt[k])
+            dt = np.asarray(quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k + 1] - t_gt[k])))
+            dq = np.asarray(quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k + 1]))))
+            db.edge_dt[k] = dt
+            db.edge_dq[k] = dq
+            db.edge_sqrt[k] = np.eye(6) * 30.0
+            db.edge_valid[k] = True
+        if with_loop:
+            k = n - 1
+            qi = jnp.asarray(q_gt[0])
+            db.loop_idx[k] = 0
+            db.loop_dt[k] = np.asarray(
+                quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k] - t_gt[0])))
+            db.loop_dq[k] = np.asarray(
+                quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k]))))
+            db.loop_weight[k] = 900.0
+        optimize_pose_graph(db, 0, n - 1, iters=10)
+        return db
+
+    db_open = build_db(with_loop=False)
+    tr_open = [np.trace(db_open.cov[k]) for k in range(n)]
+    # monotone-ish growth away from the gauge on the open chain
+    assert tr_open[n // 2] > tr_open[2] > 0
+    assert tr_open[n - 1] > tr_open[n // 2]
+
+    db_loop = build_db(with_loop=True)
+    # the loop ties the far end to the gauge: uncertainty at the end drops
+    assert np.trace(db_loop.cov[n - 1]) < 0.5 * tr_open[n - 1], (
+        np.trace(db_loop.cov[n - 1]), tr_open[n - 1])
+
+    # the text dump surfaces exactly these blocks
+    ts = db_loop.ts[:n]
+    dump = covariance_tum(ts, db_loop.opt_t[:n], db_loop.cov[:n])
+    first = dump.splitlines()[0].split()
+    assert len(first) == 4 + 36
+
+
 def test_builder_sequential_edges_consistent():
     """Structural regression for the edge off-by-one: on an L-shaped path
     (where consecutive relative transforms DIFFER, unlike a circle), every
