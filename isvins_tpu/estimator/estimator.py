@@ -22,6 +22,7 @@ consistency (documented per-site):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -205,20 +206,19 @@ class Estimator:
                     )
                 self.imu_overflow[j] = True
 
-            # midpoint propagation of the newest state (numpy, tiny)
-            R = np.asarray(quat_to_mat(jnp.asarray(self.Qs[j])))
+            # midpoint propagation of the newest state (pure numpy: this
+            # runs per IMU SAMPLE — jnp quat ops here are 3 device
+            # dispatches per sample, ~90 ms/frame through a remote-TPU
+            # tunnel; see geom/hostmath.py)
+            from ..geom import hostmath as hm
+
+            R = hm.quat_to_mat_np(self.Qs[j])
             un_acc_0 = R @ (self.acc_0 - self.Bas[j]) - self.G
             un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
-            q_new = np.asarray(
-                quat_normalize(
-                    quat_mul(
-                        jnp.asarray(self.Qs[j]),
-                        jnp.asarray(_small_quat(un_gyr * dt)),
-                    )
-                )
-            )
+            dq = np.concatenate([[1.0], un_gyr * dt * 0.5])
+            q_new = hm.quat_normalize_np(hm.quat_mul_np(self.Qs[j], dq))
             self.Qs[j] = q_new
-            R1 = np.asarray(quat_to_mat(jnp.asarray(q_new)))
+            R1 = hm.quat_to_mat_np(q_new)
             un_acc_1 = R1 @ (acc - self.Bas[j]) - self.G
             un_acc = 0.5 * (un_acc_0 + un_acc_1)
             self.Ps[j] += dt * self.Vs[j] + 0.5 * dt * dt * un_acc
@@ -284,7 +284,9 @@ class Estimator:
                 # with a 0.1 s retry throttle (estimator.cpp:160–165)
                 ok = False
                 if self.estimate_extrinsic != 2 and (t - self.initial_timestamp) > 0.1:
-                    ok = self.initial_structure()
+                    # SfM + alignment are f64 host-support work -> CPU backend
+                    with self._f64_device():
+                        ok = self.initial_structure()
                     self.initial_timestamp = t
                 info["init"] = ok
                 if ok:
@@ -335,6 +337,18 @@ class Estimator:
         if Bg is not None:
             self.Bgs[:] = Bg
 
+    def _f64_device(self):
+        """Device context for the float64 support computations (init BA +
+        alignment + scale scan, marginalization eigendecompositions,
+        triangulation SVD). On an accelerator deployment these run on the
+        host CPU backend: f64 on TPU is software-emulated — the init-BA
+        compile alone exceeded 40 minutes through the remote compile path —
+        while the f32 steady-state window solve stays on-chip. This IS the
+        mixed-precision split's placement half."""
+        if jax.default_backend() == "cpu":
+            return contextlib.nullcontext()
+        return jax.default_device(jax.devices("cpu")[0])
+
     # ------------------------------------------------------------------ solve
     def _window_state(self, dtype=None) -> WindowState:
         """Window state as a device pytree. `dtype` selects the solve
@@ -354,30 +368,41 @@ class Estimator:
         )
 
     def _imu_factors(self) -> ImuFactors:
-        """Integrate every frame segment at the current bias estimates."""
+        """Integrate every frame segment at the current bias estimates.
+        f64 preintegration runs on the CPU backend (see _f64_device); the
+        steady-state solve casts the result to f32 on the accelerator."""
         B = self.dims.B
-        pre = self._integrate_all(
-            jnp.asarray(self.imu_dt[1:]),
-            jnp.asarray(self.imu_acc[1:]),
-            jnp.asarray(self.imu_gyr[1:]),
-            jnp.asarray(self.imu_acc0[1:]),
-            jnp.asarray(self.imu_gyr0[1:]),
-            jnp.asarray(self.Bas[:-1]),
-            jnp.asarray(self.Bgs[:-1]),
-        )
-        valid = (
-            (self.imu_cnt[1:] > 0)
-            & (np.asarray(pre.sum_dt) < 10.0)
-            & ~self.imu_overflow[1:]
-        )
-        return ImuFactors.create(pre=pre, valid=jnp.asarray(valid))
+        with self._f64_device():
+            pre = self._integrate_all(
+                jnp.asarray(self.imu_dt[1:]),
+                jnp.asarray(self.imu_acc[1:]),
+                jnp.asarray(self.imu_gyr[1:]),
+                jnp.asarray(self.imu_acc0[1:]),
+                jnp.asarray(self.imu_gyr0[1:]),
+                jnp.asarray(self.Bas[:-1]),
+                jnp.asarray(self.Bgs[:-1]),
+            )
+            valid = (
+                (self.imu_cnt[1:] > 0)
+                & (np.asarray(pre.sum_dt) < 10.0)
+                & ~self.imu_overflow[1:]
+            )
+            return ImuFactors.create(pre=pre, valid=jnp.asarray(valid))
 
     def _solve_once(self, priors: PriorState, iters: int, dtype=None):
         """One triangulate + window solve + gauge re-anchor pass. Returns the
         projection-factor dict (reused by marginalization). `dtype` casts the
-        whole solve (state, factors, priors); host state stays float64."""
-        self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
+        whole solve (state, factors, priors); host state stays float64. f64
+        solves (init BA) run on the CPU backend (_f64_device); the f32
+        steady-state solve runs on the accelerator."""
+        with self._f64_device():
+            self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
 
+        solve_ctx = self._f64_device() if dtype is None else contextlib.nullcontext()
+        with solve_ctx:
+            return self._solve_once_inner(priors, iters, dtype)
+
+    def _solve_once_inner(self, priors: PriorState, iters: int, dtype):
         state = self._window_state(dtype)
         imu_f = self._imu_factors()
         pf = self.f_manager.build_proj_factors(
@@ -449,6 +474,10 @@ class Estimator:
         identifiability of the solve).
 
         Returns (best_scale, costs, scales)."""
+        with self._f64_device():
+            return self._init_scale_scan_inner(iters)
+
+    def _init_scale_scan_inner(self, iters: int):
         self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
         state = self._window_state()
         imu_f = self._imu_factors()
@@ -564,9 +593,11 @@ class Estimator:
             pre_vo = jax.tree_util.tree_map(
                 lambda a: a[: self.dims.Vo - 1], self._imu_factors().pre
             )
-            self.priors, kld = init_sparsify(
-                self._window_state(), pre_vo, G, self.dims.Vo, self.cfg.solver.alpha
-            )
+            with self._f64_device():
+                self.priors, kld = init_sparsify(
+                    self._window_state(), pre_vo, G, self.dims.Vo,
+                    self.cfg.solver.alpha,
+                )
             self.last_kld["init"] = float(kld)
 
         old_P = self.Ps.copy()
@@ -597,66 +628,89 @@ class Estimator:
 
     def _reanchor(self, st: WindowState, P0_old, Q0_old) -> WindowState:
         """Rotate/translate the solution so frame-0 yaw and position match
-        their pre-solve values (double2vector, estimator.cpp:518–560)."""
-        ypr_old = np.asarray(mat_to_ypr(quat_to_mat(jnp.asarray(Q0_old))))
-        ypr_new = np.asarray(mat_to_ypr(quat_to_mat(st.Q[0])))
+        their pre-solve values (double2vector, estimator.cpp:518–560).
+        Host numpy (geom/hostmath): runs once per solve on (B,·) arrays."""
+        from ..geom import hostmath as hm
+
+        Q_np = np.asarray(st.Q)
+        P_np = np.asarray(st.P)
+        V_np = np.asarray(st.V)
+        ypr_old = hm.mat_to_ypr_np(hm.quat_to_mat_np(np.asarray(Q0_old)))
+        ypr_new = hm.mat_to_ypr_np(hm.quat_to_mat_np(Q_np[0]))
         y_diff = ypr_old[0] - ypr_new[0]
         if abs(abs(ypr_old[1]) - 90) < 1.0 or abs(abs(ypr_new[1]) - 90) < 1.0:
             # euler singularity: full rotation difference (:538–547)
-            rot = quat_to_mat(jnp.asarray(Q0_old)) @ quat_to_mat(st.Q[0]).T
+            rot = hm.quat_to_mat_np(np.asarray(Q0_old)) @ hm.quat_to_mat_np(Q_np[0]).T
         else:
-            rot = ypr_to_mat(jnp.asarray([y_diff, 0.0, 0.0]))
-        rq = mat_to_quat(rot)
-        P0_new = st.P[0]
-        P = jnp.einsum("ij,bj->bi", rot, st.P - P0_new) + jnp.asarray(P0_old)
-        Q = quat_normalize(quat_mul(rq[None, :], st.Q))
-        V = jnp.einsum("ij,bj->bi", rot, st.V)
-        return st._replace(P=P, Q=Q, V=V)
+            rot = hm.ypr_to_mat_np([y_diff, 0.0, 0.0])
+        rq = hm.mat_to_quat_np(rot)
+        P = (P_np - P_np[0]) @ rot.T + np.asarray(P0_old)
+        Q = np.stack([hm.quat_normalize_np(hm.quat_mul_np(rq, Q_np[k]))
+                      for k in range(Q_np.shape[0])])
+        V = V_np @ rot.T
+        return st._replace(P=jnp.asarray(P), Q=jnp.asarray(Q), V=jnp.asarray(V))
 
     def _drag_priors(self, old_P, old_Q, old_V, old_Ba, old_Bg):
-        """Exact drags of all pseudo-measurements to the new states."""
+        """Exact drags of all pseudo-measurements to the new states. Host
+        numpy (factors.priors *_np twins): ~10 per-frame device dispatches
+        otherwise (geom/hostmath rationale)."""
+        from ..factors.priors import (
+            relpose_update_np,
+            rollpitch_update_np,
+            se3_prior_update_np,
+        )
+
         pr = self.priors
         Vo = self.dims.Vo
-        oP = jnp.asarray(old_P)
-        oQ = jnp.asarray(old_Q)
-        nP = jnp.asarray(self.Ps)
-        nQ = jnp.asarray(self.Qs)
+        nP, nQ = self.Ps, self.Qs
 
-        se3_t, se3_q = se3_prior_update(pr.se3_t, pr.se3_q, oP[0], oQ[0], nP[0], nQ[0])
+        se3_t, se3_q = se3_prior_update_np(
+            np.asarray(pr.se3_t), np.asarray(pr.se3_q),
+            old_P[0], old_Q[0], nP[0], nQ[0],
+        )
 
         # linear prior: exact drag = shift by the state delta (linear9_factor.h:60–68)
         k = Vo - 1
         vb_old_state = np.concatenate([old_V[k], old_Ba[k], old_Bg[k]])
         vb_new_state = np.concatenate([self.Vs[k], self.Bas[k], self.Bgs[k]])
-        vb_new = pr.vb + jnp.asarray(vb_new_state - vb_old_state)
+        vb_new = np.asarray(pr.vb) + (vb_new_state - vb_old_state)
 
+        p_rel_dt = np.asarray(pr.rel_dt)
+        p_rel_dq = np.asarray(pr.rel_dq)
         rel_dt, rel_dq = [], []
         for kk in range(Vo):
             i = kk - 1 if kk >= 1 else 0
-            dt_k, dq_k = relpose_update(
-                pr.rel_dt[kk], pr.rel_dq[kk],
-                oP[i], oQ[i], oP[kk], oQ[kk],
+            dt_k, dq_k = relpose_update_np(
+                p_rel_dt[kk], p_rel_dq[kk],
+                old_P[i], old_Q[i], old_P[kk], old_Q[kk],
                 nP[i], nQ[i], nP[kk], nQ[kk],
             )
             rel_dt.append(dt_k)
             rel_dq.append(dq_k)
 
+        p_rp_q = np.asarray(pr.rp.q_meas)
+        p_rp_idx = np.asarray(pr.rp.idx)
         rp_q = []
-        for kk in range(pr.rp.idx.shape[0]):
-            idx = int(pr.rp.idx[kk])
-            rp_q.append(rollpitch_update(pr.rp.q_meas[kk], oQ[idx], nQ[idx]))
+        for kk in range(p_rp_idx.shape[0]):
+            idx = int(p_rp_idx[kk])
+            rp_q.append(rollpitch_update_np(p_rp_q[kk], old_Q[idx], nQ[idx]))
 
         self.priors = pr._replace(
-            se3_t=se3_t,
-            se3_q=se3_q,
-            vb=vb_new,
-            rel_dt=jnp.stack(rel_dt),
-            rel_dq=jnp.stack(rel_dq),
-            rp=pr.rp._replace(q_meas=jnp.stack(rp_q)),
+            se3_t=jnp.asarray(se3_t),
+            se3_q=jnp.asarray(se3_q),
+            vb=jnp.asarray(vb_new),
+            rel_dt=jnp.asarray(np.stack(rel_dt)),
+            rel_dq=jnp.asarray(np.stack(rel_dq)),
+            rp=pr.rp._replace(q_meas=jnp.asarray(np.stack(rp_q))),
         )
 
     def _marginalize(self, pf: dict, G, psi):
-        """MargForward + MargBackward at the final state (:1554–1557)."""
+        """MargForward + MargBackward at the final state (:1554–1557). f64
+        eigendecompositions -> CPU backend (_f64_device)."""
+        with self._f64_device():
+            self._marginalize_inner(pf, G, psi)
+
+    def _marginalize_inner(self, pf: dict, G, psi):
         state = self._window_state()
         pr = self.priors
         Vo = self.dims.Vo
@@ -730,11 +784,13 @@ class Estimator:
                 KeyframePoints(self.Headers[0], np.zeros((0, 3)), np.zeros((0, 2)), np.zeros(0))
             )
             return
+        from ..geom import hostmath as hm
+
         hosts = fm.start[rows]
         pts_i = fm.obs[rows, hosts]  # (n,3) normalized bearing in host cam
         depths = fm.depth[rows]
-        R = np.asarray(quat_to_mat(jnp.asarray(self.Qs)))
-        Ric = np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+        R = np.stack([hm.quat_to_mat_np(self.Qs[k]) for k in range(self.dims.B)])
+        Ric = hm.quat_to_mat_np(self.qic)
         # world points from host-frame inverse depth (vectorized)
         pc = pts_i * depths[:, None]
         pb = pc @ Ric.T + self.tic
@@ -765,8 +821,10 @@ class Estimator:
     def slide_window(self):
         B = self.dims.B
         Vo = self.dims.Vo
+        from ..geom import hostmath as hm
+
         if self.marginalization_flag == MARGIN_OLD:
-            back_R0 = np.asarray(quat_to_mat(jnp.asarray(self.Qs[0])))
+            back_R0 = hm.quat_to_mat_np(self.Qs[0])
             back_P0 = self.Ps[0].copy()
             if self.frame_count == B - 1:
                 # shift all arrays down (:1575–1603)
@@ -788,10 +846,11 @@ class Estimator:
                     self._slide_priors()
 
                 # feature bookkeeping (:1707–1724)
-                R0 = back_R0 @ np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+                Ric = hm.quat_to_mat_np(self.qic)
+                R0 = back_R0 @ Ric
                 P0 = back_P0 + back_R0 @ self.tic
-                new_R0 = np.asarray(quat_to_mat(jnp.asarray(self.Qs[0])))
-                R1 = new_R0 @ np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+                new_R0 = hm.quat_to_mat_np(self.Qs[0])
+                R1 = new_R0 @ Ric
                 P1 = self.Ps[0] + new_R0 @ self.tic
                 if self.solver_flag == NON_LINEAR:
                     self.f_manager.remove_back_shift_depth(R0, P0, R1, P1)

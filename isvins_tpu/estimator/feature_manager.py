@@ -214,8 +214,10 @@ class FeatureManager:
         rows = np.where(good)[0]
         if len(rows) == 0:
             return 0
-        R = np.asarray(quat_to_mat(jnp.asarray(Qs)))  # (B,3,3)
-        Ric = np.asarray(quat_to_mat(jnp.asarray(qic)))
+        from ..geom.hostmath import quat_to_mat_np
+
+        R = np.stack([quat_to_mat_np(Qs[k]) for k in range(len(Qs))])  # (B,3,3)
+        Ric = quat_to_mat_np(np.asarray(qic))
         tic = np.asarray(tic)
         hosts = self.start[rows]
         # world point of each track from its host observation + depth

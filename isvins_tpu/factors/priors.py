@@ -160,3 +160,44 @@ def yaw_residual_jacobians(q_meas, Qi):
     J_rot = -quat_to_mat(Qi) @ skew(yaw_meas)
     J = jnp.concatenate([jnp.zeros((1, 3), dtype), J_rot[1:2, :]], axis=1)  # (1,6)
     return r, J
+
+
+# -------------------------------------------------- numpy host-path twins
+# (geom/hostmath rationale: the drags run per frame on the host state
+# machine; each jitted call is a device dispatch)
+def relpose_update_np(delta_t, delta_q, ti, Ri_q, tj, Rj_q,
+                      Pi_new, Qi_new, Pj_new, Qj_new):
+    import numpy as np
+    from ..geom.hostmath import (quat_conj_np, quat_mul_np, quat_normalize_np,
+                                 quat_to_mat_np)
+    Ri = quat_to_mat_np(Ri_q)
+    r_t = np.asarray(delta_t) - Ri.T @ (np.asarray(tj) - np.asarray(ti))
+    r_q = quat_mul_np(delta_q, quat_mul_np(quat_conj_np(np.asarray(Rj_q)), Ri_q))
+    Qi_new = np.asarray(Qi_new)
+    delta_t_new = r_t + quat_to_mat_np(Qi_new).T @ (np.asarray(Pj_new) - np.asarray(Pi_new))
+    delta_q_new = quat_normalize_np(
+        quat_mul_np(r_q, quat_mul_np(quat_conj_np(Qi_new), np.asarray(Qj_new)))
+    )
+    return delta_t_new, delta_q_new
+
+
+def relpose_update_anchor_np(delta_t, delta_q, ti, Ri_q, tj, Rj_q, Pj_new, Qj_new):
+    return relpose_update_np(delta_t, delta_q, ti, Ri_q, tj, Rj_q,
+                             ti, Ri_q, Pj_new, Qj_new)
+
+
+def se3_prior_update_np(t_meas, q_meas, Pi_old, Qi_old, Pi_new, Qi_new):
+    import numpy as np
+    from ..geom.hostmath import quat_conj_np, quat_mul_np, quat_normalize_np
+    r_t = np.asarray(Pi_old) - np.asarray(t_meas)
+    r_q = quat_mul_np(quat_conj_np(np.asarray(q_meas)), np.asarray(Qi_old))
+    t_new = np.asarray(Pi_new) - r_t
+    q_new = quat_normalize_np(quat_mul_np(np.asarray(Qi_new), quat_conj_np(r_q)))
+    return t_new, q_new
+
+
+def rollpitch_update_np(q_meas, Qi_old, Qi_new):
+    import numpy as np
+    from ..geom.hostmath import quat_conj_np, quat_mul_np, quat_normalize_np
+    d = quat_mul_np(quat_conj_np(np.asarray(Qi_old)), np.asarray(Qi_new))
+    return quat_normalize_np(quat_mul_np(np.asarray(q_meas), d))

@@ -78,14 +78,15 @@ def linstep_ref(H, b, W, h, b_l, lam, n_pose, D):
     b_s = b_s.at[ex0:].add(-c_b[n_pose:])
     diagH = jnp.clip(jnp.diag(H), 1e-8, None)
     H_d = H_s + jnp.diag(lam * diagH)
-    # LU solve, not chol+cho_solve: one custom call instead of five (two
-    # 128-panel Choleskys + diag-block inversions + triangular solves) —
-    # profiled 630 us/LM-iteration of the batched x8 solve on v5e vs ~50 us
-    # for the LU lowering; H_d is SPD + LM-damped so LU pivoting is stable
-    dx = jnp.linalg.solve(
-        H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype),
-        b_s[..., None],
-    )[..., 0]
+    # chol+cho_solve, not jnp.linalg.solve: A/B on v5e batched x8 measured
+    # the LU lowering at 25.0 ms/solve vs 17.9 ms for the Cholesky chain
+    # (the standalone-LU microbench is misleading; in-loop the LU's pivot
+    # bookkeeping serializes). Single-stream TPU uses the fused Pallas
+    # linstep and never reaches this line.
+    L = jnp.linalg.cholesky(
+        H_d + 1e-12 * jnp.trace(H_d) / D * jnp.eye(D, dtype=dtype)
+    )
+    dx = jax.scipy.linalg.cho_solve((L, True), b_s)
     dx_r = jnp.concatenate([dx[:n_pose], dx[ex0:]])
     dl = (b_l - W @ dx_r) / h_safe
     return dx, dl

@@ -103,17 +103,16 @@ class PoseGraphBuilder:
         """Feed one marginalization packet (+ the keyframe's exported points
         and grayscale image). Returns the new keyframe index if the 0.1 m
         gate fired, else None."""
+        from ..geom import hostmath as hm
+
         a = self.accum
         # T = T0 * T1; cov += Adj(T0) cov1 Adj(T0)^T  (pose_graph_factors.h:27–51)
-        Adj0 = np.asarray(se3_adjoint(jnp.asarray(a.dt), jnp.asarray(a.dq)))
+        Adj0 = hm.se3_adjoint_np(a.dt, a.dq)
         cov1 = np.asarray(packet.cov_rel)
         a.cov = a.cov + Adj0 @ cov1 @ Adj0.T
-        dt_new, dq_new = se3_compose(
-            jnp.asarray(a.dt), jnp.asarray(a.dq),
-            jnp.asarray(packet.rel_dt), jnp.asarray(packet.rel_dq),
-        )
-        a.dt = np.asarray(dt_new)
-        a.dq = np.asarray(dq_new)
+        dq_rel = np.asarray(packet.rel_dq)
+        a.dt = hm.quat_to_mat_np(a.dq) @ np.asarray(packet.rel_dt) + a.dt
+        a.dq = hm.quat_normalize_np(hm.quat_mul_np(a.dq, dq_rel))
         a.rp_q = np.asarray(packet.rp_q)
         a.rp_cov = np.asarray(packet.cov_abs)
         a.has_rp = bool(packet.has_rollpitch)
@@ -146,32 +145,29 @@ class PoseGraphBuilder:
 
         # shift the incoming VIO anchor into the common world
         # (pose_graph.cpp:45–48: vio = w_r_vio * vio + w_t_vio)
+        from ..geom import hostmath as hm
+
         anchor_t = self.w_r_vio @ np.asarray(a.anchor_t) + self.w_t_vio
-        anchor_q = np.asarray(
-            quat_normalize(
-                quat_mul(
-                    jnp.asarray(mat_to_quat(jnp.asarray(self.w_r_vio))),
-                    jnp.asarray(a.anchor_q),
-                )
-            )
+        anchor_q = hm.quat_normalize_np(
+            hm.quat_mul_np(hm.mat_to_quat_np(self.w_r_vio), np.asarray(a.anchor_q))
         )
 
         # retro-update previous keyframe's edge to the actual new anchor
         # (pose_graph_builder.cpp:192–199), then install it
         if self.last_kf is not None:
+            from ..factors.priors import relpose_update_anchor_np
+
             j = self.last_kf
-            tj_pred, qj_pred = se3_compose(
-                jnp.asarray(db.vio_t[j]), jnp.asarray(db.vio_q[j]),
-                jnp.asarray(db.edge_dt[j]), jnp.asarray(db.edge_dq[j]),
-            )
-            dt_new, dq_new = relpose_update_anchor(
-                jnp.asarray(db.edge_dt[j]), jnp.asarray(db.edge_dq[j]),
-                jnp.asarray(db.vio_t[j]), jnp.asarray(db.vio_q[j]),
+            tj_pred = hm.quat_to_mat_np(db.vio_q[j]) @ db.edge_dt[j] + db.vio_t[j]
+            qj_pred = hm.quat_normalize_np(hm.quat_mul_np(db.vio_q[j], db.edge_dq[j]))
+            dt_new, dq_new = relpose_update_anchor_np(
+                db.edge_dt[j], db.edge_dq[j],
+                db.vio_t[j], db.vio_q[j],
                 tj_pred, qj_pred,
-                jnp.asarray(anchor_t), jnp.asarray(anchor_q),
+                anchor_t, anchor_q,
             )
-            db.edge_dt[j] = np.asarray(dt_new)
-            db.edge_dq[j] = np.asarray(dq_new)
+            db.edge_dt[j] = dt_new
+            db.edge_dq[j] = dq_new
 
         # descriptors
         kf_pts = a.kf_points
@@ -249,13 +245,8 @@ class PoseGraphBuilder:
             vio_t=anchor_t,
             vio_q=anchor_q,
             opt_t=self.r_drift @ anchor_t + self.t_drift,
-            opt_q=np.asarray(
-                quat_normalize(
-                    quat_mul(
-                        jnp.asarray(mat_to_quat(jnp.asarray(self.r_drift))),
-                        jnp.asarray(anchor_q),
-                    )
-                )
+            opt_q=hm.quat_normalize_np(
+                hm.quat_mul_np(hm.mat_to_quat_np(self.r_drift), anchor_q)
             ),
             rp_q=a.rp_q if a.has_rp else np.array([1.0, 0, 0, 0]),
             rp_sqrt=(
@@ -338,25 +329,24 @@ class PoseGraphBuilder:
         stated intent, "shift vio pose of whole sequence", i.e. VINS-Mono
         upstream's same-sequence filter). Later keyframes of this sequence
         arrive pre-shifted via the push-time alignment."""
+        from ..geom import hostmath as hm
         db = self.db
-        R_old = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[old])))
+        R_old = hm.quat_to_mat_np(db.vio_q[old])
         # loop measurement: cur pose expressed in old's frame (tlc / Rlc)
         w_P_cur = R_old @ db.loop_dt[cur] + db.vio_t[old]
-        w_R_cur = R_old @ np.asarray(quat_to_mat(jnp.asarray(db.loop_dq[cur])))
-        R_vio_cur = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
+        w_R_cur = R_old @ hm.quat_to_mat_np(db.loop_dq[cur])
+        R_vio_cur = hm.quat_to_mat_np(db.vio_q[cur])
         shift_r = w_R_cur @ R_vio_cur.T
         shift_t = w_P_cur - shift_r @ db.vio_t[cur]
         self.w_r_vio = shift_r
         self.w_t_vio = shift_t
-        q_shift = jnp.asarray(mat_to_quat(jnp.asarray(shift_r)))
+        q_shift = hm.mat_to_quat_np(shift_r)
         seq_cur = int(db.seq[cur])
         for k in range(db.n):
             if int(db.seq[k]) != seq_cur:
                 continue
             db.vio_t[k] = shift_r @ db.vio_t[k] + shift_t
-            db.vio_q[k] = np.asarray(
-                quat_normalize(quat_mul(q_shift, jnp.asarray(db.vio_q[k])))
-            )
+            db.vio_q[k] = hm.quat_normalize_np(hm.quat_mul_np(q_shift, db.vio_q[k]))
         logging.getLogger(__name__).info(
             "pose graph: sequence %d aligned onto sequence %d via loop %d->%d",
             int(db.seq[cur]), int(db.seq[old]), cur, old,
@@ -386,10 +376,11 @@ class PoseGraphBuilder:
         # initial guess: cur keyframe's camera pose (PnPRANSAC, keyframe.cpp:168–175)
         RIC = np.asarray(self.cfg.ric_np)
         TIC = np.asarray(self.cfg.tic_np)
-        R_w_b = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
+        from ..geom import hostmath as hm
+        R_w_b = hm.quat_to_mat_np(db.vio_q[cur])
         R_w_c = R_w_b @ RIC
         T_w_c = db.vio_t[cur] + R_w_b @ TIC
-        q_cw0 = np.asarray(mat_to_quat(jnp.asarray(R_w_c.T)))
+        q_cw0 = hm.mat_to_quat_np(R_w_c.T)
         t_cw0 = -R_w_c.T @ T_w_c
 
         ok, q_cw, t_cw, inl = pnp_ransac_gn(
@@ -400,7 +391,7 @@ class PoseGraphBuilder:
             return False
 
         # old body pose in cur world
-        R_cw = np.asarray(quat_to_mat(jnp.asarray(q_cw)))
+        R_cw = hm.quat_to_mat_np(np.asarray(q_cw))
         R_w_c_old = R_cw.T
         T_w_c_old = -R_w_c_old @ np.asarray(t_cw)
         R_old = R_w_c_old @ RIC.T
@@ -422,16 +413,16 @@ class PoseGraphBuilder:
 
         # relative pose cur-in-old + gates (keyframe.cpp:276–282)
         rel_t = R_old.T @ (db.vio_t[cur] - T_old)
-        rel_R = R_old.T @ np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))
-        yaw_cur = np.asarray(mat_to_ypr(jnp.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur])))))[0]
-        yaw_old = np.asarray(mat_to_ypr(jnp.asarray(R_old)))[0]
+        rel_R = R_old.T @ R_w_b
+        yaw_cur = hm.mat_to_ypr_np(R_w_b)[0]
+        yaw_old = hm.mat_to_ypr_np(R_old)[0]
         rel_yaw = (yaw_cur - yaw_old + 180.0) % 360.0 - 180.0
         if abs(rel_yaw) >= self.pg.max_yaw_deg or np.linalg.norm(rel_t) >= self.pg.max_dist:
             return False
 
         db.loop_idx[cur] = old
         db.loop_dt[cur] = rel_t
-        db.loop_dq[cur] = np.asarray(mat_to_quat(jnp.asarray(rel_R)))
+        db.loop_dq[cur] = hm.mat_to_quat_np(rel_R)
         db.loop_weight[cur] = loop_weight
         return True
 

@@ -176,8 +176,7 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
     clamped to the most recent `max_active` poses (explicitly logged — the
     clamped head becomes the gauge; loops whose target falls before it are
     excluded for this solve)."""
-    from ..factors.priors import relpose_update
-    from ..geom import mat_to_ypr, quat_to_mat
+    from ..geom.hostmath import mat_to_ypr_np, quat_to_mat_np
 
     n = cur_idx - first_idx + 1
     if n > max_active:
@@ -285,27 +284,31 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
     cov = np.array(cov)[:n]
 
     # retro-update sequential edge measurements to the optimized poses
+    # (numpy host twin: this loop runs once per keyframe of the active
+    # segment per loop closure — a jitted call per edge is a dispatch storm)
+    from ..factors.priors import relpose_update_np
+
     for k in range(n - 1):
         gi = first_idx + k
         if not db.edge_valid[gi]:
             continue
-        dt_new, dq_new = relpose_update(
-            jnp.asarray(db.edge_dt[gi]), jnp.asarray(db.edge_dq[gi]),
-            jnp.asarray(db.opt_t[gi]), jnp.asarray(db.opt_q[gi]),
-            jnp.asarray(db.opt_t[gi + 1]), jnp.asarray(db.opt_q[gi + 1]),
-            jnp.asarray(t2[k]), jnp.asarray(q2[k]),
-            jnp.asarray(t2[k + 1]), jnp.asarray(q2[k + 1]),
+        dt_new, dq_new = relpose_update_np(
+            db.edge_dt[gi], db.edge_dq[gi],
+            db.opt_t[gi], db.opt_q[gi],
+            db.opt_t[gi + 1], db.opt_q[gi + 1],
+            t2[k], q2[k],
+            t2[k + 1], q2[k + 1],
         )
-        db.edge_dt[gi] = np.asarray(dt_new)
-        db.edge_dq[gi] = np.asarray(dq_new)
+        db.edge_dt[gi] = dt_new
+        db.edge_dq[gi] = dq_new
 
     db.opt_t[sl] = t2
     db.opt_q[sl] = q2
     db.cov[sl] = cov
 
     # drift: optimized vs vio pose of cur (pose_graph.cpp:386–394)
-    R_cur = np.asarray(quat_to_mat(jnp.asarray(q2[-1])))
-    R_vio = np.asarray(quat_to_mat(jnp.asarray(db.vio_q[cur_idx])))
+    R_cur = quat_to_mat_np(q2[-1])
+    R_vio = quat_to_mat_np(db.vio_q[cur_idx])
     r_drift = R_cur @ R_vio.T
     t_drift = t2[-1] - r_drift @ db.vio_t[cur_idx]
     return r_drift, t_drift, float(cost)

@@ -428,7 +428,8 @@ class RoomRenderer:
     def __init__(self, world: SynthWorld, cam_cfg, tic, qic, seed: int = 99,
                  n_walls: int = 28, wall_radius: float = 9.0,
                  wall_z: float = 5.0, tex_res: int = 288,
-                 noise_sigma: float = 1.5, radius_jitter: float = 1.0):
+                 noise_sigma: float = 1.5, radius_jitter: float = 1.0,
+                 camera_model=None):
         self.world = world
         self.cam = cam_cfg
         self.tic = np.asarray(tic)
@@ -437,6 +438,13 @@ class RoomRenderer:
             [[cam_cfg.fx, 0, cam_cfg.cx], [0, cam_cfg.fy, cam_cfg.cy], [0, 0, 1]]
         )
         self.Kinv = np.linalg.inv(self.K)
+        # distortion-aware rendering: when a camera model (frontend.camera)
+        # is given, pixel rays come from its lift_projective (radtan/fisheye
+        # distortion included) instead of the plain pinhole K — the rendered
+        # imagery then exercises the tracker's undistortion path exactly like
+        # real 752x480 EuRoC frames
+        self.camera_model = camera_model
+        self._ray_cache = None
         self.noise_sigma = noise_sigma
         from scipy.ndimage import gaussian_filter
 
@@ -488,8 +496,16 @@ class RoomRenderer:
         R_wc = R_wb @ R_bc
         C_w = Pb + R_wb @ self.tic
 
-        xs, ys = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
-        rays = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ self.Kinv.T
+        if self.camera_model is not None:
+            if self._ray_cache is None:
+                xs, ys = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+                px = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+                un = np.asarray(self.camera_model.lift_projective(jnp.asarray(px)))
+                self._ray_cache = un.reshape(H, W, 3)
+            rays = self._ray_cache
+        else:
+            xs, ys = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+            rays = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ self.Kinv.T
         d_w = rays @ R_wc.T  # (H,W,3), not normalized (t is then metric-z
         # along the optical axis — irrelevant, we only need the hit point)
 
@@ -532,7 +548,10 @@ class RoomRenderer:
         img = img + rng.normal(scale=self.noise_sigma, size=img.shape)
 
         pts, depth, vis = project(world, frame, self.tic, self.qic)
-        px = (self.K @ pts.T).T[:, :2]
+        if self.camera_model is not None:
+            px = np.asarray(self.camera_model.space_to_plane(jnp.asarray(pts)))
+        else:
+            px = (self.K @ pts.T).T[:, :2]
         h = 8
         inb = (
             vis

@@ -18,15 +18,117 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
 
 import numpy as np
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
+
+
+def bench_window_dp():
+    """Data-parallel window solves (BASELINE configs[4-5]): a batch of 16
+    product-shape problems (B=18, F=1000, N=3072) sharded over 1/2/4/8
+    devices. Strong scaling: fixed total work."""
+    from isvins_tpu.parallel import make_mesh, make_batch_problem
+    from isvins_tpu.parallel.sharded import sharded_batch_solve
+    from isvins_tpu.solver import WindowDims
+
+    dims = WindowDims(B=18, Vo=8, F=1000, N=3072)
+    NB = 16
+    state, imu, proj, priors, G, psi = make_batch_problem(NB, dims, dtype=jnp.float32)
+    n_dev_avail = len(jax.devices())
+    devs, times = [], []
+    nd = 1
+    while nd <= min(8, n_dev_avail):
+        mesh = make_mesh(nd)
+        step, shard = sharded_batch_solve(mesh, dims, iters=5)
+        args = shard((state, imu, proj, priors))
+        out = step(*args, G, psi)
+        jax.block_until_ready(out)
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(*args, G, psi)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        devs.append(nd)
+        times.append(dt * 1e3)
+        print(f"# window-dp {nd} device(s): {dt*1e3:.1f} ms for {NB} solves",
+              file=sys.stderr)
+        nd *= 2
+    eff = [times[0] / times[i] / devs[i] for i in range(len(devs))]
+    return {
+        "batch": NB, "dims": "B=18,F=1000,N=3072,iters=5",
+        "devices": devs, "ms": [round(x, 2) for x in times],
+        "efficiency_vs_1dev": [round(x, 3) for x in eff],
+    }
+
+
+def bench_posegraph(K=1024, E=None, n_loops=64):
+    """Edge-sharded distributed pose-graph GN at product scale (K >= 1024
+    poses — a full multi-sequence EuRoC session's keyframe count)."""
+    from isvins_tpu.parallel import make_mesh
+    from isvins_tpu.parallel.distributed import distributed_pose_graph_solve
+
+    E = E or K
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(np.cumsum(rng.normal(size=(K, 3)) * 0.05, axis=0))
+    q = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (K, 1))
+    e_i = jnp.asarray(np.minimum(np.arange(E), K - 2), jnp.int32)
+    e_j = e_i + 1
+    e_dt = jnp.asarray(rng.normal(size=(E, 3)) * 0.05)
+    e_dq = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (E, 1))
+    e_sqrt = jnp.tile(jnp.eye(6)[None] * 20.0, (E, 1, 1))
+    e_valid = jnp.ones(E, bool)
+    rp_i = jnp.asarray(np.arange(K) % K, jnp.int32)
+    rp_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (K, 1))
+    rp_sqrt = jnp.tile(jnp.eye(2)[None] * 5.0, (K, 1, 1))
+    rp_valid = jnp.ones(K, bool)
+    active = jnp.ones(K, bool)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    L = max(64, n_loops)
+    loop_i = jnp.asarray(rng.integers(0, K // 2, L), jnp.int32)
+    loop_j = jnp.asarray(rng.integers(K // 2, K - 1, L), jnp.int32)
+    loop_dt = jnp.asarray(rng.normal(size=(L, 3)) * 0.05)
+    loop_dq = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (L, 1))
+    loop_w = jnp.ones(L) * 100.0
+    loop_valid = jnp.ones(L, bool)
+
+    n_dev_avail = len(jax.devices())
+    devs, times = [], []
+    nd = 1
+    while nd <= min(8, n_dev_avail):
+        mesh = make_mesh(nd)
+        run = lambda: distributed_pose_graph_solve(
+            mesh, t, q, active, fixed,
+            e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
+            rp_i, rp_q, rp_sqrt, rp_valid,
+            loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid,
+            iters=3,
+        )
+        out = run(); jax.block_until_ready(out)  # compile
+        n = 2
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = run()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        devs.append(nd)
+        times.append(dt * 1e3)
+        print(f"# posegraph K={K} {nd} device(s): {dt*1e3:.1f} ms", file=sys.stderr)
+        nd *= 2
+    eff = [times[0] / times[i] / devs[i] for i in range(len(devs))]
+    return {
+        "K": K, "E": E, "loops": int(L), "iters": 3,
+        "devices": devs, "ms": [round(x, 2) for x in times],
+        "efficiency_vs_1dev": [round(x, 3) for x in eff],
+    }
 
 
 def main():
@@ -80,15 +182,25 @@ def main():
     eff = [times[0] / (times[i]) / devs[i] * 1.0 for i in range(len(devs))]
     # note: with a replicated O((6K)^3) solve inside, perfect scaling of the
     # whole program is impossible; efficiency here is of the full solve.
-    print(json.dumps({
-        "metric": "posegraph_assembly_scaling",
-        "devices": devs,
-        "ms": [round(x, 2) for x in times],
-        "efficiency_vs_1dev": [round(x, 3) for x in eff],
+    out = {
+        "metric": "multi_device_scaling",
         "cores": cores,
-        "note": "virtual CPU mesh; devices share physical cores, so efficiency"
-                " is a lower bound. Collective path identical to multi-chip.",
-    }))
+        "note": "virtual CPU mesh; devices SHARE physical cores (cpu_count"
+                " above), so efficiencies are lower bounds — beyond `cores`"
+                " devices the mesh is oversubscribed by construction. The"
+                " collective path (shard_map+psum) is identical to multi-chip"
+                " ICI.",
+        "posegraph_assembly_small": {
+            "K": K, "E": E,
+            "devices": devs, "ms": [round(x, 2) for x in times],
+            "efficiency_vs_1dev": [round(x, 3) for x in eff],
+        },
+        "posegraph_product_scale": bench_posegraph(K=1024),
+        "window_solve_data_parallel": bench_window_dp(),
+    }
+    print(json.dumps(out))
+    with open("SCALING_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -149,3 +149,37 @@ def test_jittable_and_gradable():
     assert np.all(np.isfinite(np.asarray(g)))
     g2 = jax.grad(lambda phi: jnp.sum(quat_log(so3_exp_quat(phi))))(jnp.zeros(3) + 1e-12)
     assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_hostmath_numpy_twins_match_jnp():
+    """geom.hostmath numpy twins must agree with the jnp implementations
+    (the host state machine uses them to avoid per-call device dispatch)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from isvins_tpu import geom
+    from isvins_tpu.geom import hostmath as hm
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        p = rng.normal(size=4); p /= np.linalg.norm(p)
+        v = rng.normal(size=3)
+        phi = rng.normal(size=3) * rng.choice([1e-14, 0.1, 2.0])
+        np.testing.assert_allclose(hm.quat_mul_np(q, p), np.asarray(geom.quat_mul(jnp.asarray(q), jnp.asarray(p))), atol=1e-12)
+        np.testing.assert_allclose(hm.quat_to_mat_np(q), np.asarray(geom.quat_to_mat(jnp.asarray(q))), atol=1e-12)
+        np.testing.assert_allclose(hm.quat_rotate_np(q, v), np.asarray(geom.quat_rotate(jnp.asarray(q), jnp.asarray(v))), atol=1e-12)
+        np.testing.assert_allclose(hm.so3_exp_quat_np(phi), np.asarray(geom.so3_exp_quat(jnp.asarray(phi))), atol=1e-9)
+        R = hm.quat_to_mat_np(q)
+        q2 = hm.mat_to_quat_np(R)
+        qj = np.asarray(geom.mat_to_quat(jnp.asarray(R)))
+        if qj[0] < 0: qj = -qj
+        np.testing.assert_allclose(q2, qj, atol=1e-9)
+        np.testing.assert_allclose(hm.mat_to_ypr_np(R), np.asarray(geom.mat_to_ypr(jnp.asarray(R))), atol=1e-9)
+        ypr = hm.mat_to_ypr_np(R)
+        np.testing.assert_allclose(hm.ypr_to_mat_np(ypr), np.asarray(geom.ypr_to_mat(jnp.asarray(ypr))), atol=1e-9)
+        t1 = rng.normal(size=3); t2 = rng.normal(size=3)
+        pn, qn = hm.se3_compose_np(t1, q, t2, p)
+        pj, qj2 = geom.se3_compose(jnp.asarray(t1), jnp.asarray(q), jnp.asarray(t2), jnp.asarray(p))
+        np.testing.assert_allclose(pn, np.asarray(pj), atol=1e-12)
+        np.testing.assert_allclose(qn, np.asarray(qj2), atol=1e-12)
+        np.testing.assert_allclose(hm.se3_adjoint_np(t1, q), np.asarray(geom.se3_adjoint(jnp.asarray(t1), jnp.asarray(q))), atol=1e-12)
