@@ -241,6 +241,22 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
         loop_w[li] = db.loop_weight[k]
         loop_valid[li] = True
 
+    # solve precision: f32 on accelerator backends (the dense 6K x 6K
+    # factorization is MXU work; f64 on TPU is emulated and the estimator's
+    # mixed-precision policy applies here too — position magnitudes are
+    # O(100 m), f32 keeps ~1e-5 m of headroom), f64 on CPU
+    sdtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+    t = t.astype(sdtype)
+    q = q.astype(sdtype)
+    edge_dt = edge_dt.astype(sdtype)
+    edge_dq = edge_dq.astype(sdtype)
+    edge_sqrt = edge_sqrt.astype(sdtype)
+    rp_q = rp_q.astype(sdtype)
+    rp_sqrt = rp_sqrt.astype(sdtype)
+    loop_dt = loop_dt.astype(sdtype)
+    loop_dq = loop_dq.astype(sdtype)
+    loop_w = loop_w.astype(sdtype)
+
     n_dev = len(jax.devices())
     if n >= dist_min_poses and n_dev > 1:
         # edge-sharded multi-device solve: each edge family is padded to K/L

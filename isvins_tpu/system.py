@@ -169,12 +169,19 @@ class System:
             self._pg_cursor += 1
 
     def _lookup_image(self, t: float):
-        best = None
-        for (ti, img) in self.image_ring:
-            if best is None or abs(ti - t) < abs(best[0] - t):
-                best = (ti, img)
-        if best is not None and abs(best[0] - t) < 0.05:
-            return best[1].astype(np.float32)
+        """Nearest ring image by timestamp (bisect on the time-ordered ring
+        instead of a linear scan — the ring holds 256 frames and this runs
+        per keyframe)."""
+        if not self.image_ring:
+            return None
+        import bisect
+
+        ts = [ti for (ti, _) in self.image_ring]
+        i = bisect.bisect_left(ts, t)
+        cands = [j for j in (i - 1, i) if 0 <= j < len(ts)]
+        j = min(cands, key=lambda k: abs(ts[k] - t))
+        if abs(ts[j] - t) < 0.05:
+            return self.image_ring[j][1].astype(np.float32)
         return None
 
     # ---------------------------------------------------------------- outputs
