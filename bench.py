@@ -21,6 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import isvins_tpu
+
+isvins_tpu.enable_compile_cache()
+
 
 def _time(fn, *args, n=30, warmup=True):
     if warmup:
@@ -113,7 +117,11 @@ def bench_e2e():
     t_est = 0.0
     n_steady = 0
     t_steady0 = None
+    t_wall0 = time.perf_counter()
     for k in range(n_frames):
+        if k % 5 == 0:
+            print(f"# e2e frame {k}/{n_frames} t={time.perf_counter()-t_wall0:.0f}s "
+                  f"flag={sys_.estimator.solver_flag}", file=sys.stderr, flush=True)
         if k > 0:
             n = int(np.sum(world.imu_dts[k - 1] > 0))
             acc_t = world.frame_times[k - 1]

@@ -248,11 +248,176 @@ def _linstep_for(n_pose: int):
         Hb, bb, Wb, hb, blb, lamb = (
             bc(a, bt) for a, bt in zip((H, b, W, h, b_l, lam), in_batched))
         D = Hb.shape[-1]
-        out = jax.vmap(lambda H, b, W, h, b_l, lam: linstep_ref(
-            H, b, W, h, b_l, lam, n_pose, D))(Hb, bb, Wb, hb, blb, lamb)
+        # Batched TPU path: XLA's batched Cholesky + triangular chain costs
+        # ~630 us/LM-iteration at NB=8/D=276 (profiled; it was the largest
+        # single item in the batched solve) — the batch-vectorized Pallas
+        # factorization replaces it. f64 / non-TPU / VMEM-overflow cases keep
+        # the XLA reference.
+        NB = int(axis_size)
+        Dp = ((D + 127) // 128) * 128
+        vmem_mb = 2 * NB * Dp * Dp * 4 / 1e6
+        if (
+            Hb.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and vmem_mb < 12.0
+        ):
+            out = _linstep_batched(Hb, bb, Wb, hb, blb, lamb, n_pose)
+        else:
+            out = jax.vmap(lambda H, b, W, h, b_l, lam: linstep_ref(
+                H, b, W, h, b_l, lam, n_pose, D))(Hb, bb, Wb, hb, blb, lamb)
         return out, (True, True)
 
     return f
+
+
+def _linstep_batched(H, b, W, h, b_l, lam, n_pose: int):
+    """Batched LM linear step: Schur correction / block insert / damping /
+    landmark back-substitution as XLA batched matmuls (MXU-efficient under
+    batching), with only the latency-bound dense factorization + triangular
+    solves in the batch-vectorized Pallas kernel below."""
+    NB, D, _ = H.shape
+    F, Dr = W.shape[1], W.shape[2]
+    dtype = H.dtype
+    lam = lam.reshape(NB, 1)
+    h_d = h * (1.0 + lam)
+    h_safe = jnp.where(h_d > 1e-12, h_d, 1.0)
+    Wh = W / h_safe[..., None]
+    C = jnp.einsum("nfa,nfb->nab", W, Wh)
+    c_b = jnp.einsum("nfa,nf->na", W, b_l / h_safe)
+    Dp = ((D + 127) // 128) * 128
+    Drp = ((Dr + 127) // 128) * 128
+    P = _scatter_matrix(n_pose, Dr, D, Dp, Drp)[:D, :Dr]  # (D, Dr)
+    # reduced -> full block insertion via the scatter matrix (batched MXU
+    # work; at[].add dynamic-update-slices relayout under batching)
+    H_s = H - jnp.einsum("ia,nab->nib", P, C) @ P.T
+    b_s = b - c_b @ P.T
+    diagH = jnp.clip(jnp.diagonal(H, axis1=1, axis2=2), 1e-8, None)
+    tr = jnp.sum(diagH, axis=1, keepdims=True)
+    dvec = lam * diagH + 1e-12 * tr / D  # (NB, D)
+    H_dd = H_s + jax.vmap(jnp.diag)(dvec)
+    dx = chol_solve_batched_pallas(H_dd, b_s)
+    dx_r = jnp.concatenate([dx[:, :n_pose], dx[:, D - (Dr - n_pose):]], axis=1)
+    dl = (b_l - jnp.einsum("nfa,na->nf", W, dx_r)) / h_safe
+    return dx, dl
+
+
+def _make_chol_kernel(D: int, Dp: int, nblk: int, NB: int):
+    """Batch-vectorized dense Cholesky + two triangular solves.
+
+    The batch dimension rides the SUBLANES: every step of the sequential
+    column sweep (the latency chain that bounds the single-problem kernel at
+    ~90 us) operates on (NB, 1, Dp) / (NB, 8, Dp) tiles, so all NB problems
+    advance per step — the chain length is identical to the single-problem
+    kernel and the per-step tiles are still far below VPU width."""
+
+    def kernel(A_in_ref, b_ref, dx_ref, A_ref, U_ref):
+        # A_in_ref is aliased to the A_ref output buffer (input_output_aliases)
+        # so the factorization runs in place without a second (NB,Dp,Dp) copy;
+        # A_in_ref is never read — A_ref sees the input values.
+        del A_in_ref
+        f32 = jnp.float32
+        sel = lambda c: jnp.where(c, jnp.float32(1.0), jnp.float32(0.0))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Dp), 2)
+
+        # --- blocked right-looking Cholesky (in-place in A_ref) -----------
+        def outer(jb, _):
+            j0 = jb * _BLK
+            Pnl = A_ref[:, pl.ds(j0, _BLK), :]  # (NB, 8, Dp)
+            lrows = []
+            for i in range(_BLK):
+                r = Pnl[:, i:i + 1, :]
+                oh = sel(lane == j0 + i)
+                d = jnp.sum(r * oh, axis=-1, keepdims=True)  # (NB,1,1)
+                linv = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+                l = r * linv
+                lrows.append(l)
+                colv = jnp.sum(Pnl * oh, axis=-1, keepdims=True)  # (NB,8,1)
+                Pnl = Pnl - (colv * linv) * l
+            Lp = jnp.concatenate(lrows, axis=1)  # (NB, 8, Dp)
+            U_ref[:, pl.ds(j0, _BLK), :] = Lp
+            upd = jax.lax.dot_general(
+                Lp, Lp, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (NB, Dp, Dp) batched rank-8 update
+            A_ref[:, :, :] = A_ref[:, :, :] - upd
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nblk), outer, jnp.int32(0))
+
+        # --- forward substitution: L y = b_s ------------------------------
+        def fwd(jb, carry):
+            res, y = carry
+            j0 = jb * _BLK
+            Ub = U_ref[:, pl.ds(j0, _BLK), :]
+            for i in range(_BLK):
+                u = Ub[:, i:i + 1, :]
+                oh = sel(lane == j0 + i)
+                d = jnp.sum(u * oh, axis=-1, keepdims=True)
+                yj = jnp.sum(res * oh, axis=-1, keepdims=True) / d
+                res = res - yj * u
+                y = y + yj * oh
+            return res, y
+
+        b_s = b_ref[:, 0:1, :]  # (NB, 1, Dp)
+        y0 = jnp.zeros((NB, 1, Dp), f32)
+        _, y = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nblk), fwd, (b_s, y0))
+
+        # --- back substitution: L^T x = y ---------------------------------
+        def bwd(jbr, x):
+            j0 = (nblk - 1 - jbr) * _BLK
+            Ub = U_ref[:, pl.ds(j0, _BLK), :]
+            for ir in range(_BLK):
+                i = _BLK - 1 - ir
+                u = Ub[:, i:i + 1, :]
+                oh = sel(lane == j0 + i)
+                d = jnp.sum(u * oh, axis=-1, keepdims=True)
+                s = jnp.sum(u * x, axis=-1, keepdims=True)
+                xj = (jnp.sum(y * oh, axis=-1, keepdims=True) - s) / d
+                x = x + xj * oh
+            return x
+
+        x = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nblk), bwd, jnp.zeros((NB, 1, Dp), f32)
+        )
+        active = sel(lane < D)
+        dx_ref[:, :, :] = jnp.broadcast_to(x * active, (NB, 8, Dp))
+
+    return kernel
+
+
+def chol_solve_batched_pallas(H_dd, b_s):
+    """Solve H_dd[n] x[n] = b_s[n] for SPD H_dd (NB, D, D), f32. Padded
+    diagonal entries are set to 1 so the factorization stays finite."""
+    NB, D, _ = H_dd.shape
+    f32 = jnp.float32
+    Dp = ((D + 127) // 128) * 128
+    nblk = (D + _BLK - 1) // _BLK
+
+    Ap = jnp.pad(H_dd.astype(f32), ((0, 0), (0, Dp - D), (0, Dp - D)))
+    lane = jnp.arange(Dp) >= D
+    Ap = Ap + jnp.diag(lane.astype(f32))[None]
+    bP = jnp.pad(b_s.astype(f32)[:, None, :], ((0, 0), (0, 7), (0, Dp - D)))
+
+    interpret = jax.default_backend() != "tpu"
+    dx8, _ = pl.pallas_call(
+        _make_chol_kernel(D, Dp, nblk, NB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # A (aliased to output 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, 8, Dp), f32),
+            jax.ShapeDtypeStruct((NB, Dp, Dp), f32),  # in-place working A
+        ],
+        scratch_shapes=[pltpu.VMEM((NB, Dp, Dp), f32)],  # U = L^T
+        input_output_aliases={0: 1},
+        interpret=interpret,
+    )(Ap, bP)
+    return dx8[:, 0, :D].astype(H_dd.dtype)
 
 
 def linstep_pallas(H, b, W, h, b_l, lam, n_pose: int):

@@ -12,9 +12,40 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..geom import quat_conj, quat_mul, quat_normalize, quat_rotate, quat_to_mat, so3_exp_quat
-
 import jax.numpy as jnp
+
+
+# Batched numpy quaternion helpers (wxyz, leading batch dims): the world
+# generator runs per-IMU-sample on the host; eager jnp here would be one
+# device round trip per sample (~1500 of them for a 40-frame world — minutes
+# through the remote-TPU tunnel; profiled as the entire e2e bench ramp-up).
+def _q_mul(q, p):
+    w0, x0, y0, z0 = np.moveaxis(np.asarray(q), -1, 0)
+    w1, x1, y1, z1 = np.moveaxis(np.asarray(p), -1, 0)
+    return np.stack([
+        w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+        w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+        w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+        w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
+    ], axis=-1)
+
+
+def _q_conj(q):
+    return np.asarray(q) * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _q_to_mat(q):
+    w, x, y, z = np.moveaxis(np.asarray(q), -1, 0)
+    row = lambda a, b, c: np.stack([a, b, c], axis=-1)
+    return np.stack([
+        row(1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        row(2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        row(2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    ], axis=-2)
+
+
+def _q_rotate(q, v):
+    return np.einsum("...ij,...j->...i", _q_to_mat(q), np.asarray(v))
 
 
 @dataclass
@@ -52,8 +83,7 @@ def _traj_quat(t, w=0.4, wobble=(0.12, 0.1)):
     qz = np.stack([np.cos(yaw / 2), 0 * t, 0 * t, np.sin(yaw / 2)], axis=-1)
     qy = np.stack([np.cos(pitch / 2), 0 * t, np.sin(pitch / 2), 0 * t], axis=-1)
     qx = np.stack([np.cos(roll / 2), np.sin(roll / 2), 0 * t, 0 * t], axis=-1)
-    q = np.asarray(quat_mul(jnp.asarray(qz), quat_mul(jnp.asarray(qy), jnp.asarray(qx))))
-    return q
+    return _q_mul(qz, _q_mul(qy, qx))
 
 
 def make_world(
@@ -97,7 +127,7 @@ def make_world(
     def omega_body(t):
         q0 = quat(t - eps)
         q1 = quat(t + eps)
-        dq = np.asarray(quat_mul(quat_conj(jnp.asarray(q0)), jnp.asarray(q1)))
+        dq = _q_mul(_q_conj(q0), q1)
         # log(dq)/2eps
         v = dq[..., 1:]
         w = np.clip(dq[..., :1], -1, 1)
@@ -121,7 +151,7 @@ def make_world(
     imu_gyr0 = np.zeros((B - 1, 3))
 
     def imu_at(t):
-        R = np.asarray(quat_to_mat(jnp.asarray(quat(t))))[0]
+        R = _q_to_mat(quat(t))[0]
         a = R.T @ (acc_w(t)[0] + G) + ba + rng.normal(size=3) * noise_acc
         g = omega_body(t)[0] + bg + rng.normal(size=3) * noise_gyr
         return a, g
@@ -312,8 +342,8 @@ class PatchRenderer:
         H, W = self.cam.height, self.cam.width
         world = self.world
         Pb, Qb = world.P[frame], world.Q[frame]
-        R_wb = np.asarray(quat_to_mat(jnp.asarray(Qb)))
-        R_bc = np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+        R_wb = _q_to_mat(Qb)
+        R_bc = _q_to_mat(self.qic)
         R_wc = R_wb @ R_bc                       # cam -> world
         C_w = Pb + R_wb @ self.tic               # camera center in world
         R_cw = R_wc.T
@@ -491,8 +521,8 @@ class RoomRenderer:
         H, W = self.cam.height, self.cam.width
         world = self.world
         Pb, Qb = world.P[frame], world.Q[frame]
-        R_wb = np.asarray(quat_to_mat(jnp.asarray(Qb)))
-        R_bc = np.asarray(quat_to_mat(jnp.asarray(self.qic)))
+        R_wb = _q_to_mat(Qb)
+        R_bc = _q_to_mat(self.qic)
         R_wc = R_wb @ R_bc
         C_w = Pb + R_wb @ self.tic
 
@@ -567,10 +597,8 @@ def project(world: SynthWorld, frame: int, tic, qic, px_noise: float = 0.0, rng=
     p_w = world.landmarks
     Pb, Qb = world.P[frame], world.Q[frame]
     # world -> body -> camera
-    p_b = np.asarray(quat_rotate(quat_conj(jnp.asarray(Qb)), jnp.asarray(p_w - Pb)))
-    p_c = np.asarray(
-        quat_rotate(quat_conj(jnp.asarray(qic)), jnp.asarray(p_b - np.asarray(tic)))
-    )
+    p_b = _q_rotate(_q_conj(Qb), p_w - Pb)
+    p_c = _q_rotate(_q_conj(np.asarray(qic)), p_b - np.asarray(tic))
     depth = p_c[:, 2]
     visible = depth > 0.3
     d_safe = np.where(np.abs(depth) > 1e-6, depth, 1.0)

@@ -20,6 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import isvins_tpu
+
+isvins_tpu.enable_compile_cache()
+
 
 def main(n_frames=80, out_path="REALISM_r03.json"):
     import isvins_tpu  # noqa: F401

@@ -167,6 +167,22 @@ def test_linstep_kernel_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(vdx[0]), np.asarray(dx_r),
                                atol=1e-5 * scale, rtol=1e-5)
 
+    # batch-vectorized TPU path (interpret mode on CPU): the batched Pallas
+    # Cholesky/triangular-solve kernel + XLA batched Schur correction must
+    # match vmap(linstep_ref) (on TPU it replaces XLA's batched Cholesky
+    # chain; selected by linstep_pallas' custom-vmap rule)
+    from isvins_tpu.ops.linstep_pallas import _linstep_batched
+
+    lam_b = jnp.asarray([1e-4, 1e-1], jnp.float32)
+    bdx, bdl = _linstep_batched(*vargs[:5], lam_b, n_pose)
+    rdx, rdl = jax.vmap(
+        lambda *a: linstep_ref(*a, n_pose, D))(*vargs[:5], lam_b)
+    np.testing.assert_allclose(np.asarray(bdx), np.asarray(rdx),
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(bdl), np.asarray(rdl),
+                               atol=2e-3 * np.abs(np.asarray(rdl)).max(),
+                               rtol=2e-3)
+
 
 def test_imu_rows_kernel_matches_vmap_path(rng):
     """Fused IMU evaluation kernel (ops/imu_pallas.py, interpret on CPU) vs
