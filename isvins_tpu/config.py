@@ -130,6 +130,7 @@ class PoseGraphConfig:
     top_k: int = 4  # query candidates
     retrieval_match_thresh: int = 40  # Hamming bits for retrieval match counting
     retrieval_abs_frac: float = 0.2  # min fraction of matched query descriptors
+    bow_abs_score: float = 0.05  # min tf-idf L1 similarity (DBoW2 0.05 gate)
     hamming_thresh: int = 80  # descriptor match threshold (keyframe.cpp:92)
     min_loop_matches: int = 25  # MIN_LOOP_NUM
     pnp_inlier_thresh: float = 10.0 / 460.0  # normalized-plane RANSAC threshold

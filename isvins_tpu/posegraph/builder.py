@@ -291,6 +291,7 @@ class PoseGraphBuilder:
                 idx, self.pg.skip_recent, self.pg.top_k,
                 match_thresh=self.pg.retrieval_match_thresh,
                 abs_frac=self.pg.retrieval_abs_frac,
+                bow_abs=self.pg.bow_abs_score,
             )
             old = next((c for c in cands if self._find_connection(idx, c)), -1)
             if old >= 0:

@@ -67,14 +67,36 @@ class KeyframeDB:
         self.ret_desc = np.zeros((K, self.R, 8), dtype=np.uint32)
         self.ret_valid = np.zeros((K, self.R), dtype=bool)
 
+        # TF-IDF bag-of-binary-words layer (TemplatedVocabulary.h scoring
+        # semantics, without the offline-trained tree): an ONLINE vocabulary
+        # of W word centers sampled from the first keyframes' own BRIEF
+        # descriptors (incremental-BoW approach — the sequence quantizes
+        # itself), keyframes store L1-normalized tf vectors, queries score
+        # idf-weighted L1 similarity (DBoW2 L1_NORM) against all older
+        # keyframes with one (K, W) matvec. Measured on the 500-keyframe
+        # retrieval harness this roughly doubles candidate precision over
+        # the plain match-count score (see RETRIEVAL_r03.json history).
+        self.W = 1024
+        self.vocab = np.zeros((self.W, 8), dtype=np.uint32)
+        self.vocab_frozen = False
+        self._vocab_pool: list[np.ndarray] = []
+        self.tf = np.zeros((K, self.W), dtype=np.float32)
+        self.df = np.zeros(self.W, dtype=np.float64)  # document frequency
+
     def _grow(self):
         """Double the capacity of every per-keyframe SoA array (the reference
         grows its `list<KeyFrame*>` unboundedly; we grow geometrically so
         device shapes stay power-of-two bucketed)."""
         K2 = self.K * 2
         quat_fields = {"vio_q", "opt_q", "edge_dq", "rp_q", "loop_dq"}
+        vocab_fields = {"vocab", "df"}  # sized by W, never by capacity
         for name, arr in list(vars(self).items()):
-            if not isinstance(arr, np.ndarray) or arr.ndim == 0 or arr.shape[0] != self.K:
+            if (
+                name in vocab_fields
+                or not isinstance(arr, np.ndarray)
+                or arr.ndim == 0
+                or arr.shape[0] != self.K
+            ):
                 continue
             new = np.zeros((K2,) + arr.shape[1:], dtype=arr.dtype)
             new[: self.K] = arr
@@ -97,24 +119,98 @@ class KeyframeDB:
         take = rows[:: max(1, len(rows) // self.R)][: self.R]
         self.ret_desc[i, : len(take)] = self.kp_desc[i][take]
         self.ret_valid[i, : len(take)] = True
+        self._bow_add(i)
         self.n += 1
         return i
 
+    # ---- TF-IDF bag-of-binary-words ------------------------------------
+
+    def _assign_words(self, desc: np.ndarray) -> np.ndarray:
+        """(n, 8) uint32 descriptors -> (n,) word ids (min-Hamming over the
+        vocabulary). Host numpy: n*W*8 popcounts, ~10 ms per keyframe at
+        n=512 — once per keyframe, far below a device round trip + argmin."""
+        x = np.bitwise_xor(desc[:, None, :], self.vocab[None, :, :])
+        d = np.bitwise_count(x).sum(axis=-1)  # (n, W)
+        return np.argmin(d, axis=1)
+
+    def _tf_from_desc(self, desc: np.ndarray) -> np.ndarray:
+        words = self._assign_words(desc)
+        counts = np.bincount(words, minlength=self.W).astype(np.float32)
+        s = counts.sum()
+        return counts / s if s > 0 else counts
+
+    def _bow_add(self, i: int):
+        """Quantize keyframe i's descriptors into the online vocabulary;
+        freeze the vocabulary from the first keyframes' own descriptors
+        (sampled, deduplicated) and backfill earlier keyframes once."""
+        desc = self.kp_desc[i][self.kp_valid[i]]
+        if not self.vocab_frozen:
+            if len(desc):
+                self._vocab_pool.append(desc)
+            pooled = sum(len(p) for p in self._vocab_pool)
+            if pooled >= 4 * self.W or self.n >= 48:
+                pool = (
+                    np.unique(np.concatenate(self._vocab_pool, axis=0), axis=0)
+                    if self._vocab_pool else np.zeros((0, 8), np.uint32)
+                )
+                rng = np.random.default_rng(17)
+                if len(pool) >= self.W:
+                    sel = rng.choice(len(pool), self.W, replace=False)
+                    self.vocab = pool[sel]
+                else:  # degenerate start: pad with random bit patterns
+                    pad = rng.integers(0, 2**32, size=(self.W - len(pool), 8),
+                                       dtype=np.uint32)
+                    self.vocab = np.concatenate([pool, pad], axis=0)
+                self.vocab_frozen = True
+                self._vocab_pool = []
+                for j in range(i + 1):  # backfill incl. this keyframe
+                    dj = self.kp_desc[j][self.kp_valid[j]]
+                    if len(dj):
+                        self.tf[j] = self._tf_from_desc(dj)
+                        self.df += self.tf[j] > 0
+            return
+        if len(desc):
+            self.tf[i] = self._tf_from_desc(desc)
+            self.df += self.tf[i] > 0
+
+    def _bow_scores(self, idx: int, hi: int):
+        """DBoW2 L1 scoring (TemplatedVocabulary.h L1_NORM): s(v, w) =
+        1 - 0.5 * || v̂ - ŵ ||_1 over idf-weighted, L1-normalized tf vectors.
+        One (hi, W) numpy pass — no device round trip."""
+        idf = np.log((self.n + 1.0) / (self.df + 1.0)).astype(np.float32)
+        vq = self.tf[idx] * idf
+        nq = vq.sum()
+        if nq <= 0:
+            return None
+        vq = vq / nq
+        Vdb = self.tf[:hi] * idf
+        nd = Vdb.sum(axis=1, keepdims=True)
+        Vdb = Vdb / np.maximum(nd, 1e-12)
+        s = 1.0 - 0.5 * np.abs(Vdb - vq).sum(axis=1)
+        s[nd[:, 0] <= 0] = 0.0
+        return s
+
     def query(self, idx: int, skip_recent: int = 50, top_k: int = 4,
-              match_thresh: int = 40, abs_frac: float = 0.2):
-        """detectLoop (pose_graph.cpp:138–218) with match-count scoring: for
-        each old keyframe, count query retrieval descriptors whose min
-        Hamming distance is below match_thresh; normalize by query size.
-        Returns up to top_k candidate indices with score >= abs_frac, ranked
-        best-first. Candidate-level precision is deliberately modest — the
-        reference's DBoW gates (0.05/0.015) are likewise only a pre-filter;
-        geometric PnP verification (findConnection) is the arbiter, so the
-        caller tries the candidates in order (measured on the loop-closure
-        e2e world: thresh=40 puts a true <1 m revisit in the top-4 for 15/15
-        queries while single-candidate selection failed)."""
+              match_thresh: int = 40, abs_frac: float = 0.2,
+              bow_abs: float = 0.05):
+        """detectLoop (pose_graph.cpp:138–218). Scoring: idf-weighted
+        bag-of-binary-words L1 similarity (_bow_scores) once the online
+        vocabulary is frozen; before that (first ~48 keyframes) the
+        match-count score over the retrieval subsample. Returns up to top_k
+        candidate indices above the absolute gate, ranked best-first.
+        Candidate-level precision is deliberately modest — the reference's
+        DBoW gates (0.05/0.015) are likewise only a pre-filter; geometric
+        PnP verification (findConnection) is the arbiter, so the caller
+        tries the candidates in order."""
         hi = idx - skip_recent
         if hi <= 0:
             return []
+        if self.vocab_frozen:
+            scores = self._bow_scores(idx, hi)
+            if scores is not None:
+                k = min(top_k, hi)
+                order = np.argsort(-scores)[:k]
+                return [int(o) for o in order if scores[o] >= bow_abs]
         # pow-2 capacity bucket so the jitted scoring program compiles once
         # per bucket instead of once per keyframe; rows in [hi, Kb) are
         # masked out (too recent / unwritten)

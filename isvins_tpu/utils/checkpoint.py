@@ -27,7 +27,11 @@ _DB_FIELDS = [
 
 def save_pose_graph(db, path: str):
     arrays = {f: getattr(db, f)[: db.n] for f in _DB_FIELDS}
-    np.savez_compressed(path, n=db.n, K=db.K, D=db.D, P=db.P, **arrays)
+    np.savez_compressed(
+        path, n=db.n, K=db.K, D=db.D, P=db.P,
+        tf=db.tf[: db.n], df=db.df, vocab=db.vocab,
+        vocab_frozen=db.vocab_frozen, **arrays,
+    )
 
 
 def load_pose_graph(path: str, capacity: int = 0):
@@ -39,6 +43,13 @@ def load_pose_graph(path: str, capacity: int = 0):
     db = KeyframeDB(K, int(z["D"]), int(z["P"]))
     for f in _DB_FIELDS:
         getattr(db, f)[:n] = z[f]
+    # BoW vocabulary/tf state (older snapshots lack it: the vocabulary then
+    # re-freezes from the loaded keyframes on the next adds)
+    if "vocab" in z.files:
+        db.vocab = np.array(z["vocab"])
+        db.vocab_frozen = bool(z["vocab_frozen"])
+        db.df = np.array(z["df"])
+        db.tf[:n] = z["tf"]
     db.n = n
     return db
 
