@@ -21,9 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import isvins_tpu
-
-isvins_tpu.enable_compile_cache()
+import isvins_tpu  # noqa: F401  (x64 config)
 
 
 def _time(fn, *args, n=30, warmup=True):
@@ -105,7 +103,7 @@ def bench_e2e():
         tic=(0.0, 0.0, 0.0), ric=R_bc,
     )
     dims = WindowDims(B=10, Vo=4, F=256, N=2048)
-    n_frames = 40
+    n_frames = 100
     world = make_world(n_frames=n_frames, frame_hz=10.0, imu_hz=200.0,
                        n_landmarks=300, seed=1)
     qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
@@ -113,13 +111,10 @@ def bench_e2e():
     frames = [renderer.render(k)[0] for k in range(n_frames)]
 
     sys_ = System(cfg, dims, enable_loop=False)
-    t_track = 0.0
-    t_est = 0.0
-    n_steady = 0
-    t_steady0 = None
+    steady_dts = []
     t_wall0 = time.perf_counter()
     for k in range(n_frames):
-        if k % 5 == 0:
+        if k % 10 == 0:
             print(f"# e2e frame {k}/{n_frames} t={time.perf_counter()-t_wall0:.0f}s "
                   f"flag={sys_.estimator.solver_flag}", file=sys.stderr, flush=True)
         if k > 0:
@@ -132,17 +127,22 @@ def bench_e2e():
         sys_.pub_image(world.frame_times[k], frames[k])
         dt = time.perf_counter() - t0
         if sys_.estimator.solver_flag == 2:  # NON_LINEAR: steady state
-            if t_steady0 is None:
-                t_steady0 = dt  # first solved frame includes compile; skip
-            else:
-                t_est += dt
-                n_steady += 1
-    if n_steady == 0:
+            steady_dts.append(dt)
+    if len(steady_dts) < 8:
         return None
-    e2e_fps = n_steady / t_est
-    print(f"# e2e_pipeline (tracker+estimator, steady-state): "
-          f"{t_est/n_steady*1e3:.1f} ms/frame -> {e2e_fps:.1f} frames/s",
-          file=sys.stderr)
+    # Robust steady-state estimate: the first steady frames still hit fresh
+    # compiles (marg OLD/NEW variants, batch-size buckets) and the remote
+    # runtime makes cached restarts slower than compiling (see
+    # isvins_tpu.enable_compile_cache), so a single process must both warm
+    # up and measure. The MEDIAN over the second half of the steady frames
+    # is immune to the compile spikes; p90 is reported alongside.
+    tail = np.array(steady_dts[len(steady_dts) // 2:])
+    med = float(np.median(tail))
+    p90 = float(np.percentile(tail, 90))
+    e2e_fps = 1.0 / med
+    print(f"# e2e_pipeline (tracker+estimator, steady-state): median "
+          f"{med*1e3:.1f} ms/frame (p90 {p90*1e3:.1f}) over {len(tail)} frames "
+          f"-> {e2e_fps:.1f} frames/s", file=sys.stderr)
     return e2e_fps
 
 

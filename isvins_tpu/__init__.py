@@ -33,14 +33,19 @@ __version__ = "0.1.0"
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> None:
-    """Enable the persistent compilation cache (call from TPU entry points
-    BEFORE the first jit). The first TPU compile of each program runs through
-    the remote-compile path (~20-40 s each; the e2e pipeline compiles ~40
-    programs — profiled as the entire bench ramp-up); caching them on disk
-    makes every later process start in seconds.
+    """Enable the persistent compilation cache (call BEFORE the first jit).
 
-    Deliberately NOT enabled at import time: CPU-only processes (pytest, CI)
-    would otherwise load CPU AOT entries written by the TPU process, whose
+    NOT used by the TPU entry points in this deployment: on the remote-TPU
+    (axon) runtime, LOADING a cached executable is ~10x slower than
+    compiling it (measured: 10.3 s cache-hit vs 1.1 s cold compile for a
+    trivial program; multi-minute stalls for the window solver), so a warm
+    cache makes every process start strictly slower. Benches therefore
+    measure steady-state inside one process (robust median over post-compile
+    frames) instead of relying on warm restarts. On a standard local TPU
+    runtime this helper is the right thing to call from drivers.
+
+    Also deliberately not enabled at import time: CPU-only processes
+    (pytest, CI) would load CPU AOT entries written by a TPU process, whose
     XLA:CPU target flags differ (prefer-no-scatter/-no-gather) and trip
     machine-feature mismatch errors."""
     d = cache_dir or _os.environ.get(

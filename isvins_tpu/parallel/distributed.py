@@ -180,6 +180,10 @@ def _build_distributed_solver(mesh: Mesh, K: int, iters: int, with_cov: bool,
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P(), P(), P()),
+        # the sharded-covariance path derives per-device values from
+        # axis_index and restores replication with an all_gather, which the
+        # static replication checker cannot infer
+        check_rep=False,
     )
     def run(t, q, active, fixed, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
             rp_i, rp_q, rp_sqrt, rp_valid,

@@ -13,9 +13,7 @@ from collections import defaultdict
 import jax
 import jax.numpy as jnp
 
-import isvins_tpu
-
-isvins_tpu.enable_compile_cache()
+import isvins_tpu  # noqa: F401  (x64 config)
 
 
 def main(NB=8):

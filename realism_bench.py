@@ -20,9 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import isvins_tpu
-
-isvins_tpu.enable_compile_cache()
+import isvins_tpu  # noqa: F401  (x64 config)
 
 
 def main(n_frames=80, out_path="REALISM_r03.json"):

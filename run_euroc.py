@@ -25,13 +25,10 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args()
 
-    import isvins_tpu
     from isvins_tpu.config import euroc_config
     from isvins_tpu.data import EurocDataset
     from isvins_tpu.system import System
     from isvins_tpu.utils.evaluation import ate_rmse
-
-    isvins_tpu.enable_compile_cache()
 
     cfg = euroc_config()
     sys_ = System(cfg, enable_loop=not args.no_loop)

@@ -155,3 +155,47 @@ def test_distributed_pose_graph_matches_single_device():
     )
     np.testing.assert_allclose(np.asarray(t2b)[:n], t2, atol=1e-8)
     np.testing.assert_allclose(float(costb), float(cost), atol=1e-12)
+
+
+def test_distributed_sharded_covariance_matches_single_device():
+    """with_cov=True shards the H^{-1} block-column solves across the mesh
+    (each device computes only its own poses' 6x6 diagonal blocks, then
+    all_gathers); the result must equal the 1-device dense inverse."""
+    rng = np.random.default_rng(7)
+    K = 16
+    E = 16
+    t0 = np.cumsum(rng.normal(size=(K, 3)) * 0.05, axis=0)
+    q0 = np.tile([1.0, 0, 0, 0], (K, 1))
+    active = np.ones(K, bool)
+    fixed = np.zeros(K, bool); fixed[0] = True
+    e_i = np.minimum(np.arange(E), K - 2).astype(np.int32)
+    e_j = e_i + 1
+    e_dt = rng.normal(size=(E, 3)) * 0.05
+    e_dq = np.tile([1.0, 0, 0, 0], (E, 1))
+    e_sqrt = np.tile(np.eye(6)[None] * 15.0, (E, 1, 1))
+    e_valid = np.ones(E, bool); e_valid[K - 1:] = False
+    Krp = 16
+    rp_i = (np.arange(Krp) % K).astype(np.int32)
+    rp_q = np.tile([1.0, 0, 0, 0], (Krp, 1))
+    rp_sqrt = np.tile(np.eye(2)[None] * 4.0, (Krp, 1, 1))
+    rp_valid = np.ones(Krp, bool)
+
+    args = (
+        jnp.asarray(t0), jnp.asarray(q0), jnp.asarray(active), jnp.asarray(fixed),
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_dt), jnp.asarray(e_dq),
+        jnp.asarray(e_sqrt), jnp.asarray(e_valid),
+        jnp.asarray(rp_i), jnp.asarray(rp_q), jnp.asarray(rp_sqrt),
+        jnp.asarray(rp_valid),
+    )
+    t4, q4, cov4, c4 = distributed_pose_graph_solve(
+        make_mesh(4), *args, iters=4, with_cov=True)
+    t1, q1, cov1, c1 = distributed_pose_graph_solve(
+        make_mesh(1), *args, iters=4, with_cov=True)
+    np.testing.assert_allclose(np.asarray(t4), np.asarray(t1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov4), np.asarray(cov1),
+                               rtol=1e-7, atol=1e-12)
+    assert np.asarray(cov4).shape == (K, 6, 6)
+    # covariance must be symmetric PSD per block
+    c = np.asarray(cov4)
+    np.testing.assert_allclose(c, np.swapaxes(c, 1, 2), atol=1e-10)
+    assert (np.linalg.eigvalsh(c) > -1e-12).all()
