@@ -108,7 +108,15 @@ def bench_e2e():
                        n_landmarks=300, seed=1)
     qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
     renderer = RoomRenderer(world, cam, np.zeros(3), qic)
-    frames = [renderer.render(k)[0] for k in range(n_frames)]
+    # disk-cache the rendered frames (pure function of world seed + camera):
+    # rendering 100 frames costs minutes of numpy raycasting per run
+    cache = f"/tmp/isvins_e2e_frames_{n_frames}x{W}x{H}_seed1.npz"
+    import os
+    if os.path.exists(cache):
+        frames = list(np.load(cache)["frames"])
+    else:
+        frames = [renderer.render(k)[0] for k in range(n_frames)]
+        np.savez_compressed(cache, frames=np.stack(frames))
 
     sys_ = System(cfg, dims, enable_loop=False)
     steady_dts = []

@@ -83,9 +83,12 @@ def _posegraph_problem(K, E, n_loops, rng):
                 loop=(loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid))
 
 
-def bench_posegraph(K=256, E=None, n_loops=64, iters=3, with_cov=False):
+def bench_posegraph(K=256, E=None, n_loops=64, iters=3, with_cov=False,
+                    phases_only=False):
     """Edge-sharded distributed pose-graph GN: measured totals per device
-    count + phase decomposition + analytic multi-chip projection."""
+    count + phase decomposition + analytic multi-chip projection.
+    phases_only skips the virtual-mesh sweep (for K where the emulated f64
+    dense solve is minutes per call) and keeps the decomposition/projection."""
     from isvins_tpu.factors.priors import relpose_residual_jacobians  # noqa: F401
     from isvins_tpu.parallel import make_mesh
     from isvins_tpu.parallel.distributed import (
@@ -100,7 +103,9 @@ def bench_posegraph(K=256, E=None, n_loops=64, iters=3, with_cov=False):
     n_dev_avail = len(jax.devices())
     devs, times = [], []
     nd = 1
-    while nd <= min(8, n_dev_avail):
+    if phases_only:
+        devs = [1, 2, 4, 8]
+    while not phases_only and nd <= min(8, n_dev_avail):
         mesh = make_mesh(nd)
         run = lambda: distributed_pose_graph_solve(
             mesh, p["t"], p["q"], p["active"], p["fixed"],
@@ -209,6 +214,12 @@ def main():
         "posegraph_product_scale": bench_posegraph(K=256, iters=3),
         "posegraph_product_cov_sharded": bench_posegraph(K=256, iters=3,
                                                          with_cov=True),
+        # full-session scale (VERDICT r02 #5): phase decomposition +
+        # projection only — the K=1024 f64 dense solve is minutes per call
+        # on the emulated mesh, and the mesh sweep adds nothing over the
+        # decomposition there
+        "posegraph_K1024_phases": bench_posegraph(K=1024, iters=3,
+                                                  phases_only=True),
         "window_solve_data_parallel": bench_window_dp(),
     }
     print(json.dumps(out))
