@@ -1,19 +1,25 @@
 """Benchmark: steady-state VIO window-solve performance on the available
 accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline (single-stream window-solve frames/s), preceded by '#'-prefixed
-detail lines: per-stage breakdown, batched multi-stream throughput, and an
-end-to-end (tracker included, rendered frames) pipeline frames/s.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline", ...}
+IMMEDIATELY after the solve-stage benchmarks (so a hung/slow e2e stage can
+never void the round's number), then runs the end-to-end pipeline stage under
+its own wall-clock budget and prints a FINAL updated JSON line with
+e2e_pipeline_fps filled in. Drivers that take the last JSON line get the full
+result; drivers that kill the process mid-e2e still have the headline.
+
+'#'-prefixed detail lines on stderr: per-stage breakdown, batched multi-stream
+throughput at x8/x16/x32, e2e ramp-to-steady time and median/p90 frame times.
 
 Baseline: the reference budgets <= 8 ms of Ceres DENSE_SCHUR/DOGLEG per frame
-(config/euroc_config.yaml:49, estimator.cpp:1124–1128) => 125 frames/s on its
-CPU. We time the identical problem shape — 18-frame window, 1000 landmarks,
-3072 projection factors, 10 LM iterations — as one jitted device step in
+(config/euroc_config.yaml:49, estimator.cpp:1124-1128) => 125 frames/s on its
+CPU. We time the identical problem shape -- 18-frame window, 1000 landmarks,
+3072 projection factors, 10 LM iterations -- as one jitted device step in
 float32 and report frames/s; vs_baseline = ours / 125.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +28,11 @@ import jax
 import jax.numpy as jnp
 
 import isvins_tpu  # noqa: F401  (x64 config)
+
+if jax.default_backend() != "cpu":
+    # persistent compile cache: the remote compile path is slow for the big
+    # fused programs and occasionally wedges; warm loads are ~10 s
+    isvins_tpu.enable_compile_cache()
 
 
 def _time(fn, *args, n=30, warmup=True):
@@ -50,7 +61,7 @@ def bench_solve():
     dt = _time(fn, state1, imu1, proj1, priors1)
     fps = 1.0 / dt
     print(f"# window_solve_single_stream: {dt*1e3:.3f} ms -> {fps:.1f} frames/s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # per-iteration marginal cost (10 -> 20 iters)
     fn20 = jax.jit(
@@ -58,30 +69,36 @@ def bench_solve():
     )
     dt20 = _time(fn20, state1, imu1, proj1, priors1, n=15)
     print(f"# per_lm_iteration_marginal: {(dt20-dt)/10*1e3:.3f} ms",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
-    # batched multi-stream throughput (sequence parallelism on one chip)
-    NB = 8
-    stateB, imuB, projB, priorsB, G2, psi2 = make_batch_problem(
-        NB, dims, dtype=jnp.float32
-    )
-    fnB = jax.jit(
-        jax.vmap(
-            lambda st, im, pr, pri: solve_window(st, im, pr, pri, G2, psi2, dims, iters=10)
+    # batched multi-stream throughput (sequence parallelism on one chip):
+    # x8 is the headline; x16/x32 locate the chip's saturation point
+    batched = {}
+    for NB, reps in ((8, 15), (16, 8), (32, 5)):
+        stateB, imuB, projB, priorsB, G2, psi2 = make_batch_problem(
+            NB, dims, dtype=jnp.float32
         )
-    )
-    dtB = _time(fnB, stateB, imuB, projB, priorsB, n=15)
-    print(f"# window_solve_batched_x{NB}: {dtB*1e3:.3f} ms -> "
-          f"{NB/dtB:.1f} frames/s throughput", file=sys.stderr)
-    return fps, NB / dtB
+        fnB = jax.jit(
+            jax.vmap(
+                lambda st, im, pr, pri: solve_window(
+                    st, im, pr, pri, G2, psi2, dims, iters=10
+                )
+            )
+        )
+        dtB = _time(fnB, stateB, imuB, projB, priorsB, n=reps)
+        batched[NB] = NB / dtB
+        print(f"# window_solve_batched_x{NB}: {dtB*1e3:.3f} ms -> "
+              f"{NB/dtB:.1f} frames/s throughput", file=sys.stderr, flush=True)
+    return fps, batched
 
 
-def bench_e2e():
+def bench_e2e(budget_s: float = 1500.0):
     """Full-pipeline frames/s: rendered frames -> tracker -> estimator
-    (steady state, NON_LINEAR), host bookkeeping included."""
+    (steady state, NON_LINEAR), host bookkeeping included. Stops at budget_s
+    of wall clock and reports whatever steady-state frames were captured."""
     from isvins_tpu.config import (CameraConfig, NoiseConfig, PoseGraphConfig,
                                    TrackerConfig, WindowConfig, euroc_config)
-    from isvins_tpu.geom import mat_to_quat
+    from isvins_tpu.geom import hostmath as hm
     from isvins_tpu.solver import WindowDims
     from isvins_tpu.system import System
     from isvins_tpu.utils.synthetic import RoomRenderer, make_world
@@ -104,76 +121,108 @@ def bench_e2e():
     )
     dims = WindowDims(B=10, Vo=4, F=256, N=2048)
     n_frames = 100
-    world = make_world(n_frames=n_frames, frame_hz=10.0, imu_hz=200.0,
-                       n_landmarks=300, seed=1)
-    qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
+    n_landmarks, frame_hz, imu_hz, seed = 300, 10.0, 200.0, 1
+    world = make_world(n_frames=n_frames, frame_hz=frame_hz, imu_hz=imu_hz,
+                       n_landmarks=n_landmarks, seed=seed)
+    qic = hm.mat_to_quat_np(np.array(R_bc))
     renderer = RoomRenderer(world, cam, np.zeros(3), qic)
-    # disk-cache the rendered frames (pure function of world seed + camera):
-    # rendering 100 frames costs minutes of numpy raycasting per run
-    cache = f"/tmp/isvins_e2e_frames_{n_frames}x{W}x{H}_seed1.npz"
-    import os
+    # disk-cache the rendered frames (pure function of the world parameters
+    # below + camera); rendering 100 frames costs minutes of numpy raycasting.
+    # The key includes every world knob so changing one can't silently reuse
+    # stale frames.
+    cache = (f"/tmp/isvins_e2e_frames_{n_frames}x{W}x{H}"
+             f"_lm{n_landmarks}_f{frame_hz:g}_i{imu_hz:g}_seed{seed}.npz")
+    legacy = f"/tmp/isvins_e2e_frames_{n_frames}x{W}x{H}_seed{seed}.npz"
+    if not os.path.exists(cache) and os.path.exists(legacy):
+        os.rename(legacy, cache)
     if os.path.exists(cache):
         frames = list(np.load(cache)["frames"])
     else:
         frames = [renderer.render(k)[0] for k in range(n_frames)]
         np.savez_compressed(cache, frames=np.stack(frames))
 
-    sys_ = System(cfg, dims, enable_loop=False)
+    sys_ = System(cfg, dims, enable_loop=False, pipeline=True)
     steady_dts = []
     t_wall0 = time.perf_counter()
+    t_steady0 = None
+    frames_done = 0
     for k in range(n_frames):
         if k % 10 == 0:
             print(f"# e2e frame {k}/{n_frames} t={time.perf_counter()-t_wall0:.0f}s "
                   f"flag={sys_.estimator.solver_flag}", file=sys.stderr, flush=True)
+        if time.perf_counter() - t_wall0 > budget_s:
+            print(f"# e2e budget {budget_s:.0f}s exhausted at frame {k}; "
+                  f"reporting {len(steady_dts)} steady frames",
+                  file=sys.stderr, flush=True)
+            break
+        # time the WHOLE frame cycle: the estimator's solve+marg fires inside
+        # whichever pub call completes the measurement set (usually the next
+        # frame's IMU), so timing pub_image alone under-counts by the entire
+        # backend cost
+        t0 = time.perf_counter()
         if k > 0:
             n = int(np.sum(world.imu_dts[k - 1] > 0))
             acc_t = world.frame_times[k - 1]
             for s in range(n):
                 acc_t += world.imu_dts[k - 1][s]
                 sys_.pub_imu(acc_t, world.imu_accs[k - 1][s], world.imu_gyrs[k - 1][s])
-        t0 = time.perf_counter()
         sys_.pub_image(world.frame_times[k], frames[k])
+        if k == n_frames - 1:
+            sys_.flush()
         dt = time.perf_counter() - t0
+        frames_done = k + 1
         if sys_.estimator.solver_flag == 2:  # NON_LINEAR: steady state
+            if t_steady0 is None:
+                t_steady0 = time.perf_counter() - t_wall0
+                print(f"# e2e ramp-to-steady: {t_steady0:.1f}s "
+                      f"(init done at frame {k})", file=sys.stderr, flush=True)
             steady_dts.append(dt)
     if len(steady_dts) < 8:
-        return None
+        return None, {}
     # Robust steady-state estimate: the first steady frames still hit fresh
-    # compiles (marg OLD/NEW variants, batch-size buckets) and the remote
-    # runtime makes cached restarts slower than compiling (see
-    # isvins_tpu.enable_compile_cache), so a single process must both warm
-    # up and measure. The MEDIAN over the second half of the steady frames
-    # is immune to the compile spikes; p90 is reported alongside.
+    # compiles (marg OLD/NEW variants), so the MEDIAN over the second half of
+    # the steady frames is immune to the compile spikes; p90 alongside.
     tail = np.array(steady_dts[len(steady_dts) // 2:])
     med = float(np.median(tail))
     p90 = float(np.percentile(tail, 90))
     e2e_fps = 1.0 / med
+    detail = {
+        "e2e_median_ms": round(med * 1e3, 2),
+        "e2e_p90_ms": round(p90 * 1e3, 2),
+        "e2e_ramp_to_steady_s": round(t_steady0, 1) if t_steady0 else None,
+        "e2e_frames_measured": int(len(tail)),
+        "e2e_frames_processed": int(frames_done),
+    }
     print(f"# e2e_pipeline (tracker+estimator, steady-state): median "
           f"{med*1e3:.1f} ms/frame (p90 {p90*1e3:.1f}) over {len(tail)} frames "
-          f"-> {e2e_fps:.1f} frames/s", file=sys.stderr)
-    return e2e_fps
+          f"-> {e2e_fps:.1f} frames/s", file=sys.stderr, flush=True)
+    return e2e_fps, detail
 
 
 def main():
-    fps, fps_batched = bench_solve()
-    try:
-        e2e = bench_e2e()
-    except Exception as e:  # pragma: no cover - bench resilience
-        print(f"# e2e bench failed: {e}", file=sys.stderr)
-        e2e = None
+    fps, batched = bench_solve()
     baseline = 125.0  # frames/s implied by the reference's 8 ms solver budget
-    print(
-        json.dumps(
-            {
-                "metric": "vio_window_solve_frames_per_s",
-                "value": round(fps, 2),
-                "unit": "frames/s (18-frame window, 1000 lm, 3072 obs, 10 LM iters, fp32)",
-                "vs_baseline": round(fps / baseline, 3),
-                "batched_x8_throughput": round(fps_batched, 2),
-                "e2e_pipeline_fps": round(e2e, 2) if e2e else None,
-            }
-        )
-    )
+    result = {
+        "metric": "vio_window_solve_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "frames/s (18-frame window, 1000 lm, 3072 obs, 10 LM iters, fp32)",
+        "vs_baseline": round(fps / baseline, 3),
+        "batched_x8_throughput": round(batched.get(8, 0.0), 2),
+        "batched_x16_throughput": round(batched.get(16, 0.0), 2),
+        "batched_x32_throughput": round(batched.get(32, 0.0), 2),
+        "e2e_pipeline_fps": None,
+    }
+    # headline FIRST: a hung e2e stage must never void the round's number
+    print(json.dumps(result), flush=True)
+    try:
+        budget = float(os.environ.get("ISVINS_E2E_BUDGET_S", "1500"))
+        e2e, detail = bench_e2e(budget_s=budget)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# e2e bench failed: {e}", file=sys.stderr, flush=True)
+        e2e, detail = None, {}
+    result["e2e_pipeline_fps"] = round(e2e, 2) if e2e else None
+    result.update(detail)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

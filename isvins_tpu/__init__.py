@@ -35,18 +35,20 @@ __version__ = "0.1.0"
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Enable the persistent compilation cache (call BEFORE the first jit).
 
-    NOT used by the TPU entry points in this deployment: on the remote-TPU
-    (axon) runtime, LOADING a cached executable is ~10x slower than
-    compiling it (measured: 10.3 s cache-hit vs 1.1 s cold compile for a
-    trivial program; multi-minute stalls for the window solver), so a warm
-    cache makes every process start strictly slower. Benches therefore
-    measure steady-state inside one process (robust median over post-compile
-    frames) instead of relying on warm restarts. On a standard local TPU
-    runtime this helper is the right thing to call from drivers.
+    Called by the TPU drivers (bench.py, run_euroc.py). On the remote-TPU
+    (axon) runtime the tradeoff depends on program size: tiny programs load
+    slower from cache than they compile (10.3 s hit vs 1.1 s cold), but the
+    product-path programs are large — the fused tracker step alone costs
+    90-190 s to compile remotely AND the remote compile helper occasionally
+    wedges outright (observed >9 min hangs on the same program that compiled
+    in 90 s on retry) — so a warm cache turns a flaky multi-minute ramp into
+    a deterministic ~10 s one (measured: tracker frame-0 ramp 193 s cold ->
+    12 s warm). min_compile_time_secs=0.5 keeps the trivial programs out of
+    the cache, preserving the small-program fast path.
 
-    Also deliberately not enabled at import time: CPU-only processes
-    (pytest, CI) would load CPU AOT entries written by a TPU process, whose
-    XLA:CPU target flags differ (prefer-no-scatter/-no-gather) and trip
+    Deliberately not enabled at import time: CPU-only processes (pytest, CI)
+    would load CPU AOT entries written by a TPU process, whose XLA:CPU
+    target flags differ (prefer-no-scatter/-no-gather) and trip
     machine-feature mismatch errors."""
     d = cache_dir or _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/isvins_jax_cache"

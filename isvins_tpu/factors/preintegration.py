@@ -47,12 +47,18 @@ class ImuNoise(NamedTuple):
     gyr_w: jnp.ndarray
 
     @staticmethod
-    def from_config(noise_cfg, dtype=jnp.float64) -> "ImuNoise":
+    def from_config(noise_cfg, dtype=None) -> "ImuNoise":
+        # host (numpy) constants: these are closed over by jitted
+        # preintegration programs, and device-array constants in a jit
+        # closure cost seconds each to bake through a remote runtime
+        import numpy as _np
+
+        dt = _np.dtype(dtype or _np.float64)
         return ImuNoise(
-            jnp.asarray(noise_cfg.acc_n, dtype),
-            jnp.asarray(noise_cfg.gyr_n, dtype),
-            jnp.asarray(noise_cfg.acc_w, dtype),
-            jnp.asarray(noise_cfg.gyr_w, dtype),
+            _np.asarray(noise_cfg.acc_n, dt),
+            _np.asarray(noise_cfg.gyr_n, dt),
+            _np.asarray(noise_cfg.acc_w, dt),
+            _np.asarray(noise_cfg.gyr_w, dt),
         )
 
     def block_diag18(self, dtype) -> jnp.ndarray:

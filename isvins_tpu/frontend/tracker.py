@@ -9,9 +9,20 @@ min-distance dedup preferring the longest-lived tracks (setMask, :37–69) ->
 Shi-Tomasi + NMS refill to max_cnt (:140) -> undistortion + normalized-plane
 velocities (:197–244) -> monotonic id assignment (:182–188).
 
-Host object holds fixed-capacity SoA state; all pixel math is jitted device
-kernels (one compile per image size).
-"""
+Host object holds fixed-capacity SoA state; ALL per-frame device work is ONE
+fused float32 jit (`_step`): CLAHE + LK forward + LK back + border gate +
+undistortion of both tracked points and detection candidates + Shi-Tomasi +
+NMS. Static shapes throughout (capacity M + masks) — the accelerator compiles
+exactly two programs (first frame / steady frame) for the whole run. This
+matters doubly on a remote-TPU runtime: a varying row count used to recompile
+the undistortion and RANSAC every frame (measured ~5 s + 98 s per fresh f64
+compile on a v5e tunnel — the round-3 e2e bench spent 945 s on 10 frames
+exactly here), and f64 pixel math is software-emulated on TPU (~1 s per
+lift_projective run vs ~0 in f32; pixel geometry needs nowhere near f64).
+
+The epipolar RANSAC (8-point + SVD) stays in f64 but is pinned to the host
+CPU backend: it is tiny (128 hypotheses x M<=150 points), and its f32 variant
+trips an XLA:TPU TransposeFolding compiler crash (probed on v5e)."""
 
 from __future__ import annotations
 
@@ -28,6 +39,12 @@ from ..initial.five_point import _ransac_core
 class FeatureTracker:
     def __init__(self, cam_cfg, tracker_cfg):
         self.cam = make_camera(cam_cfg)
+        # f32 twin for the fused per-frame device step (see module
+        # docstring); numpy leaves — device-array constants in a jit closure
+        # cost seconds each to bake through a remote runtime
+        self.cam32 = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float32), self.cam
+        )
         self.cfg = tracker_cfg
         self.W = cam_cfg.width
         self.H = cam_cfg.height
@@ -39,12 +56,13 @@ class FeatureTracker:
         self.track_cnt = np.zeros(M, dtype=np.int32)
         self.valid = np.zeros(M, dtype=bool)
         self.prev_un = np.zeros((M, 3))
-        self.prev_img = None
+        self.prev_img = None  # device array, CLAHE'd f32, output of _step
         self.prev_time = None
         self.next_id = 0
         self._ransac_seed = 0
+        self._pending = None
 
-        self._detect = jax.jit(self._detect_impl, static_argnames=("k",))
+        self._step = jax.jit(self._step_impl, static_argnames=("first",))
 
     def reset(self):
         """Drop all LK state after a stream discontinuity (System.cpp:72–79:
@@ -57,61 +75,145 @@ class FeatureTracker:
         self.prev_un[:] = 0.0
         self.prev_img = None
         self.prev_time = None
+        self._pending = None
 
-    # ------------------------------------------------------------- pipeline
-    def read_image(self, img: np.ndarray, t: float):
-        """img: (H,W) uint8/float. Returns dict with ids, normalized points,
-        pixel coords, velocities for currently tracked features."""
-        imgf = jnp.asarray(img, jnp.float32)
-        if self.cfg.equalize:
-            imgf = clahe(imgf)
+    # ------------------------------------------------------------ fused step
+    def _step_impl(self, prev_img, img, pts, valid, first: bool):
+        """The whole per-frame device pipeline as one program. Returns
+        (imgf, packed (M,11) f32); fixed capacity M. `img` may arrive uint8
+        (native camera dtype; 4x less upload bandwidth) — converted here."""
+        img = img.astype(jnp.float32)
+        imgf = clahe(img) if self.cfg.equalize else img
 
-        if self.prev_img is not None and self.valid.any():
-            pts1, ok, err = pyramidal_lk(
-                self.prev_img, imgf,
-                jnp.asarray(self.pts, jnp.float32), jnp.asarray(self.valid),
+        if first:
+            pts1 = pts
+            ok = jnp.zeros_like(valid)
+        else:
+            pts1, okl, _ = pyramidal_lk(
+                prev_img, imgf, pts, valid,
                 levels=self.cfg.lk_levels, half=self.cfg.lk_win // 2,
             )
-            pts1 = np.array(pts1)
-            ok = np.asarray(ok) & self.valid & self._in_border(pts1)
+            b = float(self.cfg.border)
+            inb = (
+                (pts1[:, 0] >= b) & (pts1[:, 0] < self.W - b)
+                & (pts1[:, 1] >= b) & (pts1[:, 1] < self.H - b)
+            )
+            ok = okl & valid & inb
             if self.cfg.flow_back:
                 # forward-backward consistency (VINS-Fusion FLOW_BACK; the
                 # fork lacks it): occlusion-boundary corners and slowly
                 # drifting tracks fail the round trip long before they fail
                 # the epipolar test — measured on the synthetic room, the
                 # worst-decile track error vs its own first observation grows
-                # to ~8 px within 10 frames without this gate
+                # to ~8 px within 10 frames without this gate.
+                # Single-level with the original position as the initial
+                # guess (cv::OPTFLOW_USE_INITIAL_FLOW): the pyramid's job is
+                # large motion, and here the motion is already known — a
+                # correct track refines in place, a wrong one wanders off.
                 pts0b, okb, _ = pyramidal_lk(
-                    imgf, self.prev_img,
-                    jnp.asarray(pts1, jnp.float32), jnp.asarray(ok),
-                    levels=self.cfg.lk_levels, half=self.cfg.lk_win // 2,
+                    imgf, prev_img, pts1, ok,
+                    levels=1, half=self.cfg.lk_win // 2, iters=8, guess0=pts,
                 )
-                rt = np.linalg.norm(np.array(pts0b) - self.pts, axis=1)
-                ok &= np.asarray(okb) & (rt < self.cfg.flow_back_thresh)
-            self.pts = pts1
+                rt = jnp.linalg.norm(pts0b - pts, axis=1)
+                ok = ok & okb & (rt < self.cfg.flow_back_thresh)
+
+        un1 = self.cam32.lift_projective(pts1)
+
+        # detection candidates for the refill. The forbid mask uses the
+        # post-LK (pre-RANSAC, pre-dedup) point set — a superset of the
+        # points that survive the host-side culls, so candidates are always
+        # min_dist-separated from every surviving track (merely conservative
+        # near tracks killed this frame).
+        resp = shi_tomasi_response(imgf)
+        forbid = min_dist_mask(self.H, self.W, pts1, ok, self.cfg.min_dist)
+        cand, cand_vals, cand_ok = nms_topk(
+            resp, self.M, self.cfg.min_dist, border=self.cfg.border + 2,
+            forbid_mask=forbid,
+        )
+        un_cand = self.cam32.lift_projective(cand)
+        # pack outputs: every device->host pull through a remote-TPU tunnel
+        # costs ms of latency, so ship ONE float payload (bool lanes ride as
+        # 0/1 floats). All camera models return lift_projective with z=1, so
+        # only the xy of the normalized coords travel.
+        return imgf, jnp.concatenate(
+            [pts1, un1[:, :2], cand, cand_vals[:, None], un_cand[:, :2],
+             ok[:, None].astype(jnp.float32), cand_ok[:, None].astype(jnp.float32)],
+            axis=1,
+        )  # (M, 11)
+
+    # ------------------------------------------------------------- pipeline
+    def dispatch(self, img: np.ndarray, t: float):
+        """Enqueue the fused device step for this frame WITHOUT blocking and
+        return a pending token for `collect`. This is the frontend half of
+        the System's dispatch-level pipeline (the reference's tracker thread,
+        System.cpp:54): the device computes this frame's tracking while the
+        host runs the previous frame's estimator update, hiding the full
+        device round trip. Exactly one dispatch may be pending at a time (the
+        next dispatch needs the host track state that collect installs).
+
+        The image is shipped in its native dtype (uint8 stays uint8 — 4x less
+        tunnel bandwidth than f32) and converted on device."""
+        assert self._pending is None, "collect() the previous frame first"
+        img = np.ascontiguousarray(img)
+        if img.dtype == np.float64:
+            # never ship f64 pixels to an accelerator: f64 is emulated on
+            # TPU (the f64-input step variant effectively never finished
+            # compiling on v5e) and pixel math gains nothing from it
+            img = img.astype(np.float32)
+        imgj = jnp.asarray(img)
+        first = self.prev_img is None
+        prev = imgj.astype(jnp.float32) if first else self.prev_img
+        imgf, packed = self._step(
+            prev, imgj, jnp.asarray(self.pts, jnp.float32),
+            jnp.asarray(self.valid), first=first,
+        )
+        self.prev_img = imgf  # lazy device value; ready by next dispatch
+        self._pending = {"t": t, "first": first, "packed": packed}
+        return self._pending
+
+    def collect(self, pending=None):
+        """Block on the pending fused step and run the host-side half:
+        epipolar RANSAC, min-dist dedup, refill bookkeeping, velocities.
+        Returns the feature packet dict (same contract as read_image)."""
+        pending = pending or self._pending
+        assert pending is not None and pending is self._pending
+        self._pending = None
+        t = pending["t"]
+        first = pending["first"]
+        # ONE bulk device->host transfer
+        packed_f = np.array(pending["packed"], dtype=np.float64)
+        pts1 = packed_f[:, 0:2]
+        un1 = np.concatenate([packed_f[:, 2:4], np.ones((self.M, 1))], axis=1)
+        cand = packed_f[:, 4:6]
+        cand_vals = packed_f[:, 6]
+        un_cand = np.concatenate([packed_f[:, 7:9], np.ones((self.M, 1))], axis=1)
+        ok = packed_f[:, 9] > 0.5
+        cand_ok = packed_f[:, 10] > 0.5
+
+        if not first:
+            self.pts = pts1.copy()
             self.valid = ok
             self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
-
-            # epipolar outlier rejection (rejectWithF)
-            self._reject_with_f()
+            # epipolar outlier rejection (rejectWithF); CPU backend, static M
+            self._reject_with_f(un1)
 
         # min-distance dedup, longest tracks win (setMask)
         self._dedup_min_dist()
 
         # refill with new detections
+        un = un1.astype(np.float64)
         n_cur = int(self.valid.sum())
         if n_cur < self.M:
-            self._refill(imgf, self.M - n_cur)
+            rows, sel = self._refill(cand, cand_vals, cand_ok, self.M - n_cur)
+            un[rows] = un_cand[sel]
 
-        # undistort + velocities
-        un = np.array(self.cam.lift_projective(jnp.asarray(self.pts)))
+        # velocities on the normalized plane
         vel = np.zeros((self.M, 2))
         if self.prev_time is not None:
             dt = max(t - self.prev_time, 1e-6)
             had_prev = self.valid & (self.track_cnt > 1)
             vel[had_prev] = (un[had_prev, :2] - self.prev_un[had_prev, :2]) / dt
         self.prev_un = un.copy()
-        self.prev_img = imgf
         self.prev_time = t
 
         sel = self.valid
@@ -123,45 +225,43 @@ class FeatureTracker:
             "track_cnt": self.track_cnt[sel].copy(),
         }
 
-    # -------------------------------------------------------------- helpers
-    def _in_border(self, pts):
-        b = self.cfg.border
-        return (
-            (pts[:, 0] >= b)
-            & (pts[:, 0] < self.W - b)
-            & (pts[:, 1] >= b)
-            & (pts[:, 1] < self.H - b)
-        )
+    def read_image(self, img: np.ndarray, t: float):
+        """img: (H,W) uint8/float. Synchronous dispatch+collect (the
+        non-pipelined path; tests and simple drivers)."""
+        self.dispatch(img, t)
+        return self.collect()
 
-    def _reject_with_f(self):
-        rows = np.where(self.valid & (self.track_cnt > 1))[0]
+    # -------------------------------------------------------------- helpers
+    def _reject_with_f(self, un_cur: np.ndarray):
+        mask = self.valid & (self.track_cnt > 1)
+        rows = np.where(mask)[0]
         if len(rows) < 15:
             return
-        un_prev = self.prev_un[rows, :2]
-        un_cur = np.asarray(self.cam.lift_projective(jnp.asarray(self.pts[rows])))[:, :2]
         # pixel threshold -> normalized-plane units via the actual focal
         # (the reference's /460 virtual focal assumed the EuRoC camera)
         thresh = self.cfg.f_threshold / float(self.cam.focal)
-        n = len(rows)
         # fresh sample pattern each frame: a fixed seed correlates the
         # rejection across frames (same-sample failure modes recur)
         rng = np.random.default_rng(self._ransac_seed)
         self._ransac_seed += 1
-        samples = np.stack([rng.choice(n, size=8, replace=False) for _ in range(128)])
-        _, _, inl, n_inl, _ = _ransac_core(
-            jnp.asarray(un_prev), jnp.asarray(un_cur), jnp.ones(n, bool),
-            jnp.asarray(samples), thresh * thresh,
+        samples = np.stack(
+            [rng.choice(rows, size=8, replace=False) for _ in range(128)]
         )
+        # full-capacity arrays + mask: static shape = one CPU compile ever
+        with jax.default_device(jax.devices("cpu")[0]):
+            _, _, inl, n_inl, _ = _ransac_core(
+                jnp.asarray(self.prev_un[:, :2]), jnp.asarray(un_cur[:, :2]),
+                jnp.asarray(mask), jnp.asarray(samples), thresh * thresh,
+            )
         inl = np.asarray(inl)
         # degeneracy guard: a (near-)planar view makes the 8-point problem
         # rank-deficient and the "best" model arbitrary — if the winner
         # explains less than half the candidates, do not trust its verdict
         # (cv::findFundamentalMat in the reference degrades the same way;
         # keeping the tracks is strictly safer than a coin-flip cull)
-        if int(n_inl) < 0.5 * n:
+        if int(n_inl) < 0.5 * len(rows):
             return
-        kill = rows[~inl]
-        self.valid[kill] = False
+        self.valid[mask & ~inl] = False
 
     def _dedup_min_dist(self):
         """Greedy min-dist keep, longest track first (setMask). Vectorized:
@@ -181,20 +281,10 @@ class FeatureTracker:
                 keep[(d2[i] < r2) & (idx > i)] = False
         self.valid[order[~keep]] = False
 
-    def _detect_impl(self, imgf, pts, valid, k):
-        resp = shi_tomasi_response(imgf)
-        forbid = min_dist_mask(
-            self.H, self.W, pts.astype(jnp.float32), valid, self.cfg.min_dist
-        )
-        return nms_topk(resp, k, self.cfg.min_dist, border=self.cfg.border + 2,
-                        forbid_mask=forbid)
-
-    def _refill(self, imgf, n_new: int):
-        cand, vals, ok = self._detect(
-            imgf, jnp.asarray(self.pts), jnp.asarray(self.valid), self.M
-        )
-        cand = np.array(cand)
-        vals = np.array(vals)
+    def _refill(self, cand, vals, ok, n_new: int):
+        """Assign detection candidates (from the fused step) to free slots.
+        Returns (rows, sel) — the slot indices filled and the candidate
+        indices used — so the caller can fetch their undistorted coords."""
         # GFTT-style quality floor relative to the strongest response
         # (feature_tracker_simple.cpp:140 uses cv::goodFeaturesToTrack with
         # qualityLevel 0.01); weak texture tracks drift and churn
@@ -208,3 +298,4 @@ class FeatureTracker:
         self.next_id += take
         self.track_cnt[rows] = 1
         self.valid[rows] = True
+        return rows, sel

@@ -167,24 +167,31 @@ class PriorState(NamedTuple):
     rp: RollPitchFactors  # capacity Vo
 
     @staticmethod
-    def empty(Vo: int, dtype=jnp.float64) -> "PriorState":
+    def empty(Vo: int, dtype=None) -> "PriorState":
+        """Host-side (numpy) empty prior set. Numpy leaves keep the host
+        state machine off the accelerator: the estimator stores and mutates
+        priors in host memory and only the jitted solve/marg calls move them
+        across the device boundary (remote-TPU transfers are ~ms each)."""
+        import numpy as _np
+
+        dtype = dtype or _np.float64
         return PriorState(
-            se3_t=jnp.zeros(3, dtype),
-            se3_q=jnp.array([1.0, 0, 0, 0], dtype),
-            se3_sqrt=jnp.zeros((6, 6), dtype),
-            se3_valid=jnp.asarray(False),
-            vb=jnp.zeros(9, dtype),
-            vb_sqrt=jnp.zeros((9, 9), dtype),
-            vb_valid=jnp.asarray(False),
-            rel_dt=jnp.zeros((Vo, 3), dtype),
-            rel_dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
-            rel_sqrt=jnp.zeros((Vo, 6, 6), dtype),
-            rel_valid=jnp.zeros(Vo, bool),
+            se3_t=_np.zeros(3, dtype),
+            se3_q=_np.array([1.0, 0, 0, 0], dtype),
+            se3_sqrt=_np.zeros((6, 6), dtype),
+            se3_valid=_np.asarray(False),
+            vb=_np.zeros(9, dtype),
+            vb_sqrt=_np.zeros((9, 9), dtype),
+            vb_valid=_np.asarray(False),
+            rel_dt=_np.zeros((Vo, 3), dtype),
+            rel_dq=_np.tile(_np.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
+            rel_sqrt=_np.zeros((Vo, 6, 6), dtype),
+            rel_valid=_np.zeros(Vo, bool),
             rp=RollPitchFactors(
-                q_meas=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
-                sqrt_info=jnp.zeros((Vo, 2, 2), dtype),
-                idx=jnp.zeros(Vo, jnp.int32),
-                valid=jnp.zeros(Vo, bool),
+                q_meas=_np.tile(_np.array([1.0, 0, 0, 0], dtype), (Vo, 1)),
+                sqrt_info=_np.zeros((Vo, 2, 2), dtype),
+                idx=_np.zeros(Vo, _np.int32),
+                valid=_np.zeros(Vo, bool),
             ),
         )
 
@@ -550,8 +557,11 @@ def build_normal_equations(
     return H, b, h, W, b_l, cost
 
 
+@functools.partial(jax.jit, static_argnames=("dims",))
 def window_cost(state, imu, proj, priors, G, pixel_sqrt_info, dims):
-    """Robust cost only (cheap path for LM accept tests)."""
+    """Robust cost only (cheap path for LM accept tests). Jitted: the
+    internals vmap over edge indices, which requires traced (or jnp) operand
+    leaves — host callers pass numpy pytrees."""
     _, _, cv_imu = _eval_imu(state, imu, G, dims)
     cv_proj = _eval_proj(state, proj, pixel_sqrt_info, dims)[5]
     _, cv_prior = _eval_priors(state, priors, dims)

@@ -31,8 +31,18 @@ from .solver import WindowDims
 
 class System:
     def __init__(self, cfg: EngineConfig, dims: Optional[WindowDims] = None,
-                 enable_loop: bool = True):
+                 enable_loop: bool = True, pipeline: bool = False):
+        """pipeline=True enables dispatch-level pipelining: pub_image
+        dispatches the tracker's fused device step asynchronously and runs
+        the PREVIOUS frame's estimator update while it computes, hiding the
+        tracker's device round trip (the reference overlaps the same two
+        stages with its tracker/backend threads, System.cpp:224). Outputs are
+        identical to the synchronous mode — packets are processed in the same
+        order with the same values, one pub_image later; call flush() at end
+        of stream."""
         self.cfg = cfg
+        self.pipeline = pipeline
+        self._pending_pub = None  # (t, pub_this) of the in-flight tracker frame
         self.tracker = FeatureTracker(cfg.camera, cfg.tracker)
         self.estimator = Estimator(cfg, dims)
         self.pgbuilder = (
@@ -69,6 +79,11 @@ class System:
         # start a new pose-graph sequence (pose_graph_builder.cpp GrabImg →
         # new_sequence); inter-sequence loop closure stitches them later
         if t - self.last_image_time > 1.0 or t < self.last_image_time:
+            # finish any in-flight frame from before the gap, then process
+            # what it produced (semantics: the discontinuity resets state
+            # AFTER the last pre-gap frame is fully consumed)
+            self._collect_pending()
+            self._process()
             self.first_image_time = t
             self.pub_count = 0
             self.init_feature = True
@@ -87,27 +102,59 @@ class System:
                 self.first_image_time = t
                 self.pub_count = 0
 
-        out = self.tracker.read_image(img, t)
-        self.image_ring.append((t, np.asarray(img, dtype=np.uint8)))
-
         if pub_this:
             self.pub_count += 1
-            if self.init_feature:
-                # first packet has no velocities; the reference skips it
-                self.init_feature = False
-                return
-            sel = out["track_cnt"] > 1
-            if sel.sum() == 0:
-                return
-            self.feature_buf.append(
-                {
-                    "t": t,
-                    "ids": out["ids"][sel],
-                    "pts": out["pts_norm"][sel],
-                    "vel": out["vel"][sel],
-                }
-            )
+        self.image_ring.append((t, np.asarray(img, dtype=np.uint8)))
+        if self.pipeline:
+            # 1) finish the previous frame's tracking (its device step has
+            #    long since completed), queueing its feature packet;
+            # 2) dispatch THIS frame's tracker step (non-blocking);
+            # 3) run the estimator on the queued packet while it computes.
+            self._collect_pending(dispatch_next=(t, pub_this, img))
             self._process()
+        else:
+            out = self.tracker.read_image(img, t)
+            self._queue_packet(t, pub_this, out)
+            self._process()
+
+    def _collect_pending(self, dispatch_next=None):
+        """Collect the in-flight tracker frame (if any) into the feature
+        queue, then optionally dispatch the next frame."""
+        if self._pending_pub is not None:
+            t0, pub0 = self._pending_pub
+            self._pending_pub = None
+            out = self.tracker.collect()
+            self._queue_packet(t0, pub0, out)
+        if dispatch_next is not None:
+            t, pub_this, img = dispatch_next
+            self.tracker.dispatch(img, t)
+            self._pending_pub = (t, pub_this)
+
+    def _queue_packet(self, t: float, pub_this: bool, out: dict):
+        if not pub_this:
+            return
+        if self.init_feature:
+            # first packet has no velocities; the reference skips it
+            self.init_feature = False
+            return
+        sel = out["track_cnt"] > 1
+        if sel.sum() == 0:
+            return
+        self.feature_buf.append(
+            {
+                "t": t,
+                "ids": out["ids"][sel],
+                "pts": out["pts_norm"][sel],
+                "vel": out["vel"][sel],
+            }
+        )
+
+    def flush(self):
+        """End-of-stream: finish the in-flight tracker frame and drain the
+        queues (pipeline mode's analogue of joining the reference's
+        threads)."""
+        self._collect_pending()
+        self._process()
 
     # -------------------------------------------------------------- processing
     def _measurements_ready(self) -> bool:

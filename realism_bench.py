@@ -30,7 +30,7 @@ def main(n_frames=80, out_path="REALISM_r03.json"):
         euroc_config,
     )
     from isvins_tpu.frontend import make_camera
-    from isvins_tpu.geom import mat_to_quat
+    from isvins_tpu.geom.hostmath import mat_to_quat_np
     from isvins_tpu.solver import WindowDims
     from isvins_tpu.system import System
     from isvins_tpu.utils.evaluation import ate_rmse
@@ -58,7 +58,7 @@ def main(n_frames=80, out_path="REALISM_r03.json"):
                        n_landmarks=10, seed=7, traj_r=3.0, traj_w=0.5,
                        noise_acc=0.02, noise_gyr=0.002,
                        ba=(0.02, -0.015, 0.01), bg=(0.002, -0.003, 0.004))
-    qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
+    qic = mat_to_quat_np(np.array(R_bc))
     camera_model = make_camera(cam)
     renderer = RoomRenderer(world, cam, np.zeros(3), qic, seed=11,
                             camera_model=camera_model, tex_res=512)

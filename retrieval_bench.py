@@ -34,7 +34,7 @@ jax.config.update("jax_platforms", "cpu")
 import isvins_tpu  # noqa: F401
 from isvins_tpu.config import CameraConfig, PoseGraphConfig, euroc_config
 from isvins_tpu.frontend.image_ops import nms_topk, shi_tomasi_response
-from isvins_tpu.geom import mat_to_quat, mat_to_ypr, quat_to_mat
+from isvins_tpu.geom.hostmath import mat_to_quat_np, mat_to_ypr, quat_to_mat
 from isvins_tpu.posegraph.brief import brief_descriptors, make_brief_pattern
 from isvins_tpu.posegraph.builder import PoseGraphBuilder
 from isvins_tpu.posegraph.keyframe_db import KeyframeDB
@@ -74,7 +74,7 @@ def build_db(n_kf: int, seed: int = 4):
     frame_hz = 6.0  # 1.8 m/s / 0.3 m
     world = make_world(n_frames=n_kf, frame_hz=frame_hz, imu_hz=60.0,
                        n_landmarks=10, seed=seed, traj_r=3.0, traj_w=0.6)
-    qic = np.asarray(mat_to_quat(jnp.asarray(R_bc)))
+    qic = mat_to_quat_np(np.asarray(R_bc))
     renderer = RoomRenderer(world, cam, np.zeros(3), qic, seed=seed + 1)
 
     pg = PoseGraphConfig()
