@@ -255,7 +255,9 @@ def _linstep_for(n_pose: int):
         # the XLA reference.
         NB = int(axis_size)
         Dp = ((D + 127) // 128) * 128
-        vmem_mb = 2 * NB * Dp * Dp * 4 / 1e6
+        # budget 3 (NB,Dp,Dp) f32 buffers: aliased A, the U scratch, and the
+        # dot_general temporary materialized by the rank-8 update
+        vmem_mb = 3 * NB * Dp * Dp * 4 / 1e6
         if (
             Hb.dtype == jnp.float32
             and jax.default_backend() == "tpu"

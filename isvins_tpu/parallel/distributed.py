@@ -129,12 +129,20 @@ def distributed_pose_graph_solve(
     huber_delta: float = 0.1,
 ):
     """Run GN with edge-sharded Hessian assembly + psum reduction.
-    E, Krp, L must be divisible by the mesh size (pad with invalid edges).
+    E, Krp, L must be divisible by the mesh size (pad with invalid edges);
+    with_cov=True additionally requires K divisible by the mesh size (the
+    covariance back-solve shards block-columns of H^-1 per device and
+    all_gathers (nd*K/nd,6,6) back to (K,6,6)).
     Returns (t_opt, q_opt, cost) or (t_opt, q_opt, cov_blocks, cost)."""
     axis = mesh.axis_names[0]
     nd = mesh.devices.size
     K = t.shape[0]
     dtype = t.dtype
+    if with_cov and K % nd != 0:
+        raise ValueError(
+            f"with_cov=True requires K ({K}) divisible by mesh size ({nd}); "
+            "pad poses (active=False) to a multiple of the mesh size"
+        )
 
     if loop_i is None:
         L = nd

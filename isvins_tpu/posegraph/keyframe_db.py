@@ -79,7 +79,6 @@ class KeyframeDB:
         self.W = 1024
         self.vocab = np.zeros((self.W, 8), dtype=np.uint32)
         self.vocab_frozen = False
-        self._vocab_pool: list[np.ndarray] = []
         self.tf = np.zeros((K, self.W), dtype=np.float32)
         self.df = np.zeros(self.W, dtype=np.float64)  # document frequency
 
@@ -142,17 +141,18 @@ class KeyframeDB:
     def _bow_add(self, i: int):
         """Quantize keyframe i's descriptors into the online vocabulary;
         freeze the vocabulary from the first keyframes' own descriptors
-        (sampled, deduplicated) and backfill earlier keyframes once."""
-        desc = self.kp_desc[i][self.kp_valid[i]]
+        (sampled, deduplicated) and backfill earlier keyframes once.
+
+        The pool is drawn from ALL stored keyframes 0..i (not a session-local
+        accumulator) so a database restored by load_pose_graph from a pre-BoW
+        snapshot freezes a vocabulary representative of the whole loaded map
+        rather than of the single keyframe added after the load."""
         if not self.vocab_frozen:
-            if len(desc):
-                self._vocab_pool.append(desc)
-            pooled = sum(len(p) for p in self._vocab_pool)
+            pooled = int(self.kp_valid[: i + 1].sum())
             if pooled >= 4 * self.W or self.n >= 48:
-                pool = (
-                    np.unique(np.concatenate(self._vocab_pool, axis=0), axis=0)
-                    if self._vocab_pool else np.zeros((0, 8), np.uint32)
-                )
+                pool = self.kp_desc[: i + 1][self.kp_valid[: i + 1]]
+                pool = (np.unique(pool, axis=0) if len(pool)
+                        else np.zeros((0, 8), np.uint32))
                 rng = np.random.default_rng(17)
                 if len(pool) >= self.W:
                     sel = rng.choice(len(pool), self.W, replace=False)
@@ -162,13 +162,13 @@ class KeyframeDB:
                                        dtype=np.uint32)
                     self.vocab = np.concatenate([pool, pad], axis=0)
                 self.vocab_frozen = True
-                self._vocab_pool = []
                 for j in range(i + 1):  # backfill incl. this keyframe
                     dj = self.kp_desc[j][self.kp_valid[j]]
                     if len(dj):
                         self.tf[j] = self._tf_from_desc(dj)
                         self.df += self.tf[j] > 0
             return
+        desc = self.kp_desc[i][self.kp_valid[i]]
         if len(desc):
             self.tf[i] = self._tf_from_desc(desc)
             self.df += self.tf[i] > 0

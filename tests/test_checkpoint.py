@@ -44,6 +44,43 @@ def test_pose_graph_roundtrip(rng):
     assert all(c in (0, 1, 2, 3) for c in db2.query(4, skip_recent=1))
 
 
+def test_pre_bow_snapshot_freezes_vocab_from_loaded_map(rng):
+    """A database restored from a snapshot saved before the BoW vocabulary
+    froze (or by an older writer lacking vocab state) must rebuild the
+    vocabulary from ALL loaded keyframes on the next add, not from the one
+    keyframe added post-load (advisor round-3 finding)."""
+    from isvins_tpu.posegraph.keyframe_db import KeyframeDB
+
+    db = KeyframeDB(64, 32, 16)
+    for k in range(55):
+        db.add(
+            ts=float(k),
+            kp_desc=rng.integers(0, 2**32, size=(32, 8), dtype=np.uint32),
+            kp_valid=np.ones(32, bool),
+        )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "pg.npz")
+        save_pose_graph(db, path)
+        z = dict(np.load(path, allow_pickle=False))
+        for k in ("vocab", "vocab_frozen", "df", "tf"):
+            z.pop(k)  # simulate a pre-BoW snapshot
+        np.savez(path, **z)
+        db2 = load_pose_graph(path)
+    assert not db2.vocab_frozen
+    db2.add(
+        ts=55.0,
+        kp_desc=rng.integers(0, 2**32, size=(32, 8), dtype=np.uint32),
+        kp_valid=np.ones(32, bool),
+    )
+    assert db2.vocab_frozen
+    stored = set(map(tuple, db2.kp_desc[:56][db2.kp_valid[:56]].tolist()))
+    in_pool = sum(tuple(w) in stored for w in db2.vocab.tolist())
+    # 56*32 = 1792 distinct random descriptors >= W=1024: every vocabulary
+    # word must come from the stored map, none from random padding
+    assert in_pool == db2.W
+    assert (db2.tf[:56].sum(axis=1) > 0).all()
+
+
 def test_estimator_resume_continues_trajectory():
     from test_estimator_e2e import run_sequence, ate
     from isvins_tpu.config import euroc_config, WindowConfig
