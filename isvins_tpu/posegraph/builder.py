@@ -398,19 +398,22 @@ class PoseGraphBuilder:
         R_old = R_w_c_old @ RIC.T
         T_old = T_w_c_old - R_old @ TIC
 
-        # loop weight (keyframe.cpp:213–227): (m-6)/res^2 over inliers
+        # loop weight (keyframe.cpp:211–227): (m-6)/res^2 over inliers, with
+        # the residual divided by FOCAL_LENGTH=460 once more on top of the
+        # normalized coordinates (keyframe.cpp:220) — that second division is
+        # what puts loop sqrt-info (~1e4/axis) on the same footing as the
+        # marginalization-derived sequential-edge information; without it
+        # (round-3 behavior, w ~1e3) loop edges are ~460^2 weaker than the
+        # reference's and cannot bend the VIO chain, so a closed loop left
+        # meters of drift uncorrected. Floor: a quarter pixel of residual per
+        # match keeps a near-exact synthetic fit from an unbounded weight.
         pc = (R_cw @ (pts3d[inl] - T_w_c_old).T).T
         pc = pc / pc[:, 2:3]
-        res = np.linalg.norm(pc[:, :2] - pts2d_old[inl], axis=1).sum()
+        res = np.linalg.norm(pc[:, :2] - pts2d_old[inl], axis=1).sum() / 460.0
         if n_in <= 6:
             return False
-        # floor at a quarter-pixel of reprojection noise per match so a
-        # near-exact synthetic fit cannot produce an unbounded weight
-        # (the reference divides by FOCAL_LENGTH once more at
-        # keyframe.cpp:221, ending in the same huge-weight regime that its
-        # Huber loss tames; we bound it explicitly)
-        res = max(res, n_in * 0.25 / 460.0)
-        loop_weight = min((n_in - 6) / (res * res), 1e6)
+        res = max(res, n_in * 0.25 / (460.0 * 460.0))
+        loop_weight = (n_in - 6) / (res * res)
 
         # relative pose cur-in-old + gates (keyframe.cpp:276–282)
         rel_t = R_old.T @ (db.vio_t[cur] - T_old)
