@@ -50,9 +50,23 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     would load CPU AOT entries written by a TPU process, whose XLA:CPU
     target flags differ (prefer-no-scatter/-no-gather) and trip
     machine-feature mismatch errors."""
-    d = cache_dir or _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/isvins_jax_cache"
-    )
+    if cache_dir is None:
+        cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        # key the default dir by host CPU identity: XLA:CPU AOT entries baked
+        # for another machine's vector features SIGILL-warn (and slow-load)
+        # when a TPU-process's CPU-backend programs hit them, and the same
+        # /tmp may persist across differently-featured hosts
+        import hashlib as _hashlib
+        import platform as _platform
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = _platform.processor()
+        h = _hashlib.sha1(flags.encode()).hexdigest()[:10]
+        cache_dir = f"/tmp/isvins_jax_cache_{h}"
+    d = cache_dir
     _jax.config.update("jax_compilation_cache_dir", d)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

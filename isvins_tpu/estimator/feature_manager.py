@@ -147,15 +147,20 @@ class FeatureManager:
         if not need.any():
             return
         rows = np.where(need)[0]
+        # static full-F shape: gathering only the needed rows made the batch
+        # size (and thus the jitted program's shape) vary per frame, which
+        # recompiled the CPU DLT kernel mid-run (~250 ms spikes in the e2e
+        # frame-time p90); the all-rows batch compiles once and the unneeded
+        # rows' results are simply not written back
         depths = np.asarray(
             _triangulate_batch(
-                jnp.asarray(self.obs[rows]),
-                jnp.asarray(self.has_obs[rows]),
-                jnp.asarray(self.start[rows]),
+                jnp.asarray(self.obs),
+                jnp.asarray(self.has_obs),
+                jnp.asarray(self.start),
                 jnp.asarray(P), jnp.asarray(Q),
                 jnp.asarray(tic), jnp.asarray(qic),
             )
-        )
+        )[rows]
         # Degenerate DLT (behind the camera / tiny depth / non-finite) falls
         # back to INIT_DEPTH like the reference (feature_manager.cpp:252–255).
         # The reference ALSO resets depths > 8 m to 5 m — that destroys

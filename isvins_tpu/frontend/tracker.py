@@ -168,6 +168,11 @@ class FeatureTracker:
             jnp.asarray(self.valid), first=first,
         )
         self.prev_img = imgf  # lazy device value; ready by next dispatch
+        # start the device->host copy NOW (it enqueues behind the step's
+        # compute): by the time collect() runs, the result is already on the
+        # host and the ~30 ms remote-runtime pull round trip vanishes
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
         self._pending = {"t": t, "first": first, "packed": packed}
         return self._pending
 

@@ -88,6 +88,11 @@ class PackedFn:
                 else np.zeros(0, fdt))
         ibuf = np.concatenate(is_) if is_ else np.zeros(0, np.int32)
         bbuf = np.concatenate(bs) if bs else np.zeros(0, bool)
+        # NOTE: issuing copy_to_host_async here before blocking measured
+        # SLOWER on the remote runtime (+26 ms/frame: the early copy request
+        # adds its own round trip when there is no host work to overlap it
+        # with); the tracker's dispatch/collect split is where the async copy
+        # pays off
         out = np.asarray(self._jfn(fbuf, ibuf, bbuf), dtype=np.float64)
         res = []
         off = 0
