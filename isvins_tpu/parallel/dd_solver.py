@@ -387,11 +387,20 @@ def _build_dd_solver(mesh: Mesh, K: int, Ki: int, NB: int, iters: int,
             corr = jnp.einsum("kaB,Bkb->kab", Wb, Ub)
             cov_int = diagA + corr                              # (Ki, 6, 6)
             covg = jax.lax.all_gather(cov_int, axis, axis=0).reshape(K, 6, 6)
-            # interface poses: exact H^{-1} diagonal blocks are S^{-1} blocks
-            Sinv = jax.scipy.linalg.cho_solve(
-                (LS, True), jnp.eye(6 * NB, dtype=dtype))
-            Sd = Sinv.reshape(NB, 6, NB, 6)
-            diagS = jax.vmap(lambda b: Sd[b, :, b, :])(jnp.arange(NB))
+            # interface poses: exact H^{-1} diagonal blocks are S^{-1}
+            # blocks. The block-column solves are SHARDED over the mesh
+            # (device d solves only its NB/nd interface slots' columns and
+            # all_gathers the diag blocks) — replicating the full S^{-1}
+            # costs 2(6NB)^3 and dominated loop-heavy graphs where the
+            # promoted interface rivals the interiors in size.
+            NBl = NB // nd
+            bcols = (me * (6 * NBl) + jnp.arange(6 * NBl))
+            rhsS = jax.nn.one_hot(bcols, 6 * NB, dtype=dtype).T
+            Scols = jax.scipy.linalg.cho_solve((LS, True), rhsS)
+            Sb = Scols.reshape(NB, 6, NBl, 6)
+            diagS_l = jax.vmap(lambda b: Sb[me * NBl + b, :, b, :])(
+                jnp.arange(NBl))
+            diagS = jax.lax.all_gather(diagS_l, axis, axis=0).reshape(NB, 6, 6)
             cov_bnd = jnp.einsum("bk,bij->kij", bnd_oh, diagS)
             covg = jnp.where(is_iface[:, None, None], cov_bnd, covg)
         else:

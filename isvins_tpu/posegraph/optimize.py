@@ -259,19 +259,20 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
 
     n_dev = len(jax.devices())
     if n >= dist_min_poses and n_dev > 1:
-        # edge-sharded multi-device solve: each edge family is padded to K/L
-        # (powers of two, divisible by any pow2 mesh size)
+        # domain-decomposition multi-device solve (parallel/dd_solver.py):
+        # contiguous pose segments per device + a small replicated interface,
+        # exact to the dense path but with all O(D^3) work device-local
         from ..parallel import make_mesh
-        from ..parallel.distributed import distributed_pose_graph_solve
+        from ..parallel.dd_solver import dd_pose_graph_solve
 
         nd = 1 << (n_dev.bit_length() - 1)  # largest pow2 <= n_dev
-        nd = min(nd, L, 8)  # every padded edge family must shard evenly
+        nd = min(nd, L, K // 4, 8)  # pow2: K, L, edge families shard evenly
         mesh = make_mesh(nd, axis="edges")
         e_i = np.minimum(np.arange(K, dtype=np.int32), K - 2)
         e_j = e_i + 1
         ev = np.zeros(K, bool)
         ev[: K - 1] = edge_valid[: K - 1] & active[: K - 1] & active[1:]
-        t2, q2, cov, cost = distributed_pose_graph_solve(
+        t2, q2, cov, cost = dd_pose_graph_solve(
             mesh,
             jnp.asarray(t), jnp.asarray(q), jnp.asarray(active), jnp.asarray(fixed),
             jnp.asarray(e_i), jnp.asarray(e_j),

@@ -199,3 +199,73 @@ def test_distributed_sharded_covariance_matches_single_device():
     c = np.asarray(cov4)
     np.testing.assert_allclose(c, np.swapaxes(c, 1, 2), atol=1e-10)
     assert (np.linalg.eigvalsh(c) > -1e-12).all()
+
+
+# ---------------------------------------------------------------- dd solver
+def _dd_problem(rng, K=32, E=32, L=8):
+    t0 = np.cumsum(rng.normal(size=(K, 3)) * 0.05, axis=0)
+    q0 = np.tile([1.0, 0, 0, 0], (K, 1))
+    active = np.ones(K, bool)
+    fixed = np.zeros(K, bool); fixed[0] = True
+    e_i = np.minimum(np.arange(E), K - 2).astype(np.int32)
+    e_j = e_i + 1
+    e_dt = rng.normal(size=(E, 3)) * 0.05
+    e_dq = np.tile([1.0, 0, 0, 0], (E, 1))
+    e_sqrt = np.tile(np.eye(6)[None] * 15.0, (E, 1, 1))
+    e_valid = np.ones(E, bool); e_valid[K - 1:] = False
+    rp_i = (np.arange(K) % K).astype(np.int32)
+    rp_q = np.tile([1.0, 0, 0, 0], (K, 1))
+    rp_sqrt = np.tile(np.eye(2)[None] * 4.0, (K, 1, 1))
+    rp_valid = np.ones(K, bool)
+    loop_i = rng.integers(0, K // 2, L).astype(np.int32)
+    loop_j = rng.integers(K // 2, K - 1, L).astype(np.int32)
+    loop_dt = rng.normal(size=(L, 3)) * 0.05
+    loop_dq = np.tile([1.0, 0, 0, 0], (L, 1))
+    loop_w = np.ones(L) * 100.0
+    loop_valid = np.ones(L, bool)
+    return tuple(map(jnp.asarray, (
+        t0, q0, active, fixed, e_i, e_j, e_dt, e_dq, e_sqrt, e_valid,
+        rp_i, rp_q, rp_sqrt, rp_valid,
+        loop_i, loop_j, loop_dt, loop_dq, loop_w, loop_valid)))
+
+
+def test_dd_solver_matches_dense_all_mesh_sizes():
+    """The domain-decomposition solver is the exact Schur factorization of
+    the dense path's H + eps*I: poses and covariances must agree with the
+    dense (replicated-Cholesky) solver to roundoff at every mesh size."""
+    from isvins_tpu.parallel.dd_solver import dd_pose_graph_solve
+
+    args = _dd_problem(np.random.default_rng(7))
+    t1, q1, cov1, c1 = distributed_pose_graph_solve(
+        make_mesh(1), *args, iters=5, with_cov=True)
+    for nd in (2, 4, 8):
+        t2, q2, cov2, c2 = dd_pose_graph_solve(
+            make_mesh(nd), *args, iters=5, with_cov=True)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-10)
+        # eps lands on gauge-fixed slots differently (identity vs 1/(1+eps));
+        # everything else must match to ~roundoff
+        np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1),
+                                   rtol=1e-6, atol=2e-8)
+        np.testing.assert_allclose(float(c2), float(c1), rtol=1e-12)
+
+
+def test_dd_solver_no_loops_and_no_cov():
+    """Loop-free graphs (interface = chain separators only) and the
+    cov-free fast path."""
+    from isvins_tpu.parallel.dd_solver import dd_pose_graph_solve
+
+    args = _dd_problem(np.random.default_rng(3))[:14]  # drop loop args
+    t1, q1, c1 = distributed_pose_graph_solve(make_mesh(1), *args, iters=4)
+    t2, q2, c2 = dd_pose_graph_solve(make_mesh(4), *args, iters=4)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-10)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-9, atol=1e-18)
+
+
+def test_dd_solver_rejects_bad_mesh():
+    from isvins_tpu.parallel.dd_solver import dd_pose_graph_solve
+    import pytest
+
+    args = _dd_problem(np.random.default_rng(1), K=30, E=30)
+    with pytest.raises(ValueError):
+        dd_pose_graph_solve(make_mesh(4), *args, iters=2)  # 30 % 4 != 0
