@@ -142,6 +142,10 @@ class PoseGraphConfig:
     max_kp_per_kf: int = 512  # window pts + detected pts capacity
     dist_min_poses: int = 512  # active segments >= this use the edge-sharded multi-device solve
     max_active_poses: int = 4096  # clamp of the optimized segment (logged, oldest poses frozen)
+    # dispatch the loop optimization asynchronously and collect it at the
+    # next keyframe (the reference's optimizeCS poll-thread semantics,
+    # pose_graph.cpp:425): the VIO stream never blocks on the dense solve
+    async_optimize: bool = True
 
 
 @dataclass(frozen=True)

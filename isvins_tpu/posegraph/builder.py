@@ -73,6 +73,10 @@ class PoseGraphBuilder:
         self.t_drift = np.zeros(3)
         self.pending_optimize = []
         self.n_loops = 0
+        self._pending_opt = None  # in-flight async optimization
+        self._opt_dirty = None  # newest loop idx that fired while in flight
+        self._opt_align_epoch = 0
+        self.n_async_collects = 0
 
         # multi-sequence state (pose_graph_builder.h:70, pose_graph.cpp:33–48,
         # 84–105): live sequences start at 1 (0 is reserved for a loaded map);
@@ -129,6 +133,9 @@ class PoseGraphBuilder:
 
     # ------------------------------------------------------------- keyframe
     def _make_keyframe(self) -> int:
+        # collect a finished in-flight loop optimization first: its writes
+        # (opt poses / drift) must land before this keyframe reads r_drift
+        self._poll_optimize()
         a = self.accum
         db = self.db
         i = db.n
@@ -307,17 +314,71 @@ class PoseGraphBuilder:
                     self.n_sequence_aligns += 1
                 if self.earliest_loop < 0 or self.db.loop_idx[idx] < self.earliest_loop:
                     self.earliest_loop = int(self.db.loop_idx[idx])
-                r_d, t_d, _ = optimize_pose_graph(
-                    self.db, self.earliest_loop, idx,
-                    dist_min_poses=self.pg.dist_min_poses,
-                    max_active=self.pg.max_active_poses,
-                )
-                self.r_drift = r_d
-                self.t_drift = t_d
-                # re-apply drift to the newest pose (already written by optimize)
+                self._request_optimize(idx)
 
         self.accum = _Accum.identity()
         return idx
+
+    # ---------------------------------------------- async loop optimization
+    def _request_optimize(self, idx: int):
+        """Run (or schedule) the pose-graph optimization for the active
+        segment [earliest_loop..idx]. With cfg.posegraph.async_optimize the
+        dense solve is DISPATCHED to the device and collected at the next
+        keyframe — the VIO stream never blocks on it, mirroring the
+        reference's decoupled optimizeCS thread (pose_graph.cpp:425-426)
+        with drift applied eventually (:112-120). Synchronous mode keeps the
+        round-3 behavior (tests that assert immediately-optimized poses)."""
+        if not getattr(self.pg, "async_optimize", False):
+            r_d, t_d, _ = optimize_pose_graph(
+                self.db, self.earliest_loop, idx,
+                dist_min_poses=self.pg.dist_min_poses,
+                max_active=self.pg.max_active_poses,
+            )
+            self.r_drift = r_d
+            self.t_drift = t_d
+            return
+        if self._pending_opt is not None:
+            # one solve in flight at a time (the reference's poll thread also
+            # runs one optimizeCS at a time); remember that a newer loop
+            # wants a re-run with the larger range
+            self._opt_dirty = max(self._opt_dirty or idx, idx)
+            return
+        self._pending_opt = optimize_pose_graph(
+            self.db, self.earliest_loop, idx,
+            dist_min_poses=self.pg.dist_min_poses,
+            max_active=self.pg.max_active_poses,
+            async_dispatch=True,
+        )
+        self._opt_align_epoch = self.n_sequence_aligns
+
+    def _poll_optimize(self, block: bool = True):
+        """Collect a finished in-flight optimization (called at each new
+        keyframe and from the output accessors). Applies opt poses, covs,
+        retro-updated edges and the drift; if more loops fired while the
+        solve was in flight, immediately re-dispatches with the wider range.
+        A sequence alignment (which rewrites vio poses the in-flight solve
+        was seeded from) invalidates the pending solve — it is discarded and
+        re-dispatched."""
+        if self._pending_opt is None:
+            return
+        pend = self._pending_opt
+        self._pending_opt = None
+        if self._opt_align_epoch == self.n_sequence_aligns:
+            r_d, t_d, _ = pend.finalize()
+            self.r_drift = r_d
+            self.t_drift = t_d
+            self.n_async_collects += 1
+        # else: stale seed (vio frame was re-aligned mid-flight) — discard
+        redo = self._opt_dirty
+        self._opt_dirty = None
+        if redo is not None or self._opt_align_epoch != self.n_sequence_aligns:
+            self._request_optimize(redo if redo is not None else pend.cur_idx)
+
+    def flush_optimize(self):
+        """End-of-stream: collect any in-flight optimization (System.flush's
+        pose-graph analogue of joining the reference's optimizeCS thread)."""
+        while self._pending_opt is not None:
+            self._poll_optimize()
 
     # --------------------------------------------------------------- loops
     def _align_sequence(self, cur: int, old: int):
@@ -434,6 +495,7 @@ class PoseGraphBuilder:
     def trajectory(self):
         """(ts, t, q) arrays of optimized keyframe poses (loop_pose_output.txt
         equivalent, pose_graph.cpp:412–423)."""
+        self.flush_optimize()
         n = self.db.n
         return self.db.ts[:n].copy(), self.db.opt_t[:n].copy(), self.db.opt_q[:n].copy()
 
@@ -443,6 +505,7 @@ class PoseGraphBuilder:
         reference renders these as live ellipses, pose_graph_builder.cpp:
         272–301 — surfaced here for the text dump / offline plot in
         utils/visualization.py)."""
+        self.flush_optimize()
         n = self.db.n
         return (
             self.db.ts[:n].copy(),

@@ -161,17 +161,76 @@ def _next_pow2(n):
     return k
 
 
+class PendingOptimize:
+    """A dispatched-but-not-collected pose-graph optimization (the TPU-native
+    analogue of the reference's optimizeCS poll thread, pose_graph.cpp:425:
+    the device computes while the host keeps streaming frames; results are
+    applied with eventually-consistent drift semantics, :112–120).
+    `finalize()` blocks on the device values (usually long since ready),
+    writes opt poses/covariances/retro-updated edges back into the db, and
+    returns (r_drift, t_drift, cost)."""
+
+    def __init__(self, db, first_idx, cur_idx, n, t2, q2, cov, cost):
+        self.db = db
+        self.first_idx = first_idx
+        self.cur_idx = cur_idx
+        self._n = n
+        self._t2, self._q2, self._cov, self._cost = t2, q2, cov, cost
+
+    def finalize(self):
+        from ..factors.priors import relpose_update_np
+        from ..geom.hostmath import quat_to_mat_np
+
+        db, first_idx, cur_idx, n = self.db, self.first_idx, self.cur_idx, self._n
+        t2 = np.array(self._t2)[:n]
+        q2 = np.array(self._q2)[:n]
+        cov = np.array(self._cov)[:n]
+        sl = slice(first_idx, cur_idx + 1)
+
+        # retro-update sequential edge measurements to the optimized poses
+        # (numpy host twin: once per keyframe of the active segment per loop
+        # closure — a jitted call per edge is a dispatch storm)
+        for k in range(n - 1):
+            gi = first_idx + k
+            if not db.edge_valid[gi]:
+                continue
+            dt_new, dq_new = relpose_update_np(
+                db.edge_dt[gi], db.edge_dq[gi],
+                db.opt_t[gi], db.opt_q[gi],
+                db.opt_t[gi + 1], db.opt_q[gi + 1],
+                t2[k], q2[k],
+                t2[k + 1], q2[k + 1],
+            )
+            db.edge_dt[gi] = dt_new
+            db.edge_dq[gi] = dq_new
+
+        db.opt_t[sl] = t2
+        db.opt_q[sl] = q2
+        db.cov[sl] = cov
+
+        # drift: optimized vs vio pose of cur (pose_graph.cpp:386–394)
+        R_cur = quat_to_mat_np(q2[-1])
+        R_vio = quat_to_mat_np(db.vio_q[cur_idx])
+        r_drift = R_cur @ R_vio.T
+        t_drift = t2[-1] - r_drift @ db.vio_t[cur_idx]
+        return r_drift, t_drift, float(np.asarray(self._cost))
+
+
 def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
-                        dist_min_poses: int = 512, max_active: int = 4096):
+                        dist_min_poses: int = 512, max_active: int = 4096,
+                        async_dispatch: bool = False):
     """Optimize db poses [first_idx..cur_idx] in place (vio poses as initial
     values, first pose fixed), write optimized poses + covariances back, and
-    return (r_drift (3,3), t_drift (3,), yaw_drift).
+    return (r_drift (3,3), t_drift (3,), cost) — or, with
+    `async_dispatch=True`, a PendingOptimize whose device values are still
+    computing (call .finalize() later; the host stream keeps running in the
+    meantime, like the reference's 2 s-poll optimizeCS thread).
 
     Mirrors optimizeCS (pose_graph.cpp:234–409) including the post-solve
     retro-update of sequential edge measurements and drift computation.
 
     Scaling: active segments with >= `dist_min_poses` poses are solved with
-    the edge-sharded multi-device path (`distributed_pose_graph_solve`) when
+    the multi-device domain-decomposition path (`dd_pose_graph_solve`) when
     more than one device is available; segments longer than `max_active` are
     clamped to the most recent `max_active` poses (explicitly logged — the
     clamped head becomes the gauge; loops whose target falls before it are
@@ -296,36 +355,7 @@ def optimize_pose_graph(db, first_idx: int, cur_idx: int, iters: int = 10,
             jnp.asarray(loop_dq), jnp.asarray(loop_w), jnp.asarray(loop_valid),
             jnp.asarray(fixed), K=K, L=L, iters=iters,
         )
-    t2 = np.array(t2)[:n]
-    q2 = np.array(q2)[:n]
-    cov = np.array(cov)[:n]
-
-    # retro-update sequential edge measurements to the optimized poses
-    # (numpy host twin: this loop runs once per keyframe of the active
-    # segment per loop closure — a jitted call per edge is a dispatch storm)
-    from ..factors.priors import relpose_update_np
-
-    for k in range(n - 1):
-        gi = first_idx + k
-        if not db.edge_valid[gi]:
-            continue
-        dt_new, dq_new = relpose_update_np(
-            db.edge_dt[gi], db.edge_dq[gi],
-            db.opt_t[gi], db.opt_q[gi],
-            db.opt_t[gi + 1], db.opt_q[gi + 1],
-            t2[k], q2[k],
-            t2[k + 1], q2[k + 1],
-        )
-        db.edge_dt[gi] = dt_new
-        db.edge_dq[gi] = dq_new
-
-    db.opt_t[sl] = t2
-    db.opt_q[sl] = q2
-    db.cov[sl] = cov
-
-    # drift: optimized vs vio pose of cur (pose_graph.cpp:386–394)
-    R_cur = quat_to_mat_np(q2[-1])
-    R_vio = quat_to_mat_np(db.vio_q[cur_idx])
-    r_drift = R_cur @ R_vio.T
-    t_drift = t2[-1] - r_drift @ db.vio_t[cur_idx]
-    return r_drift, t_drift, float(cost)
+    pending = PendingOptimize(db, first_idx, cur_idx, n, t2, q2, cov, cost)
+    if async_dispatch:
+        return pending
+    return pending.finalize()

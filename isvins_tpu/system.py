@@ -150,11 +150,13 @@ class System:
         )
 
     def flush(self):
-        """End-of-stream: finish the in-flight tracker frame and drain the
-        queues (pipeline mode's analogue of joining the reference's
-        threads)."""
+        """End-of-stream: finish the in-flight tracker frame, drain the
+        queues, and collect any in-flight pose-graph optimization (pipeline
+        mode's analogue of joining the reference's threads)."""
         self._collect_pending()
         self._process()
+        if self.pgbuilder is not None:
+            self.pgbuilder.flush_optimize()
 
     # -------------------------------------------------------------- processing
     def _measurements_ready(self) -> bool:

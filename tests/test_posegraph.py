@@ -488,3 +488,60 @@ def test_builder_loop_closure_pipeline():
     err_vio = np.linalg.norm(t_vio[: len(t_opt)] - t_gt[: len(t_opt)], axis=1)[-3:].mean()
     err_opt = np.linalg.norm(t_opt - t_gt[: len(t_opt)], axis=1)[-3:].mean()
     assert err_opt < 0.7 * err_vio, (err_vio, err_opt)
+
+
+def test_async_optimize_dispatch_and_finalize():
+    """async_dispatch=True returns a PendingOptimize whose finalize applies
+    the identical result as the synchronous call (the reference's decoupled
+    optimizeCS thread semantics, pose_graph.cpp:425)."""
+    from isvins_tpu.posegraph.optimize import PendingOptimize
+
+    n = 40
+    t_gt, q_gt = _circle_kfs(n)
+
+    def build_db():
+        db = KeyframeDB(64, 8, 8)
+        drift_rate = 0.004
+        for k in range(n):
+            dyaw = drift_rate * k
+            Rz = np.array([[np.cos(dyaw), -np.sin(dyaw), 0],
+                           [np.sin(dyaw), np.cos(dyaw), 0], [0, 0, 1]])
+            t_v = Rz @ t_gt[k] + np.array([0.002, 0.001, 0.0]) * k
+            q_v = np.asarray(quat_normalize(quat_mul(
+                jnp.asarray(mat_to_quat(jnp.asarray(Rz))), jnp.asarray(q_gt[k]))))
+            db.add(ts=float(k), vio_t=t_v, vio_q=q_v, opt_t=t_v, opt_q=q_v)
+        for k in range(n - 1):
+            qi = jnp.asarray(q_gt[k])
+            db.edge_dt[k] = np.asarray(
+                quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k + 1] - t_gt[k])))
+            db.edge_dq[k] = np.asarray(
+                quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k + 1]))))
+            db.edge_sqrt[k] = np.eye(6) * 30.0
+            db.edge_valid[k] = True
+        k = n - 1
+        qi = jnp.asarray(q_gt[0])
+        db.loop_idx[k] = 0
+        db.loop_dt[k] = np.asarray(
+            quat_rotate(quat_conj(qi), jnp.asarray(t_gt[k] - t_gt[0])))
+        db.loop_dq[k] = np.asarray(
+            quat_normalize(quat_mul(quat_conj(qi), jnp.asarray(q_gt[k]))))
+        db.loop_weight[k] = 500.0
+        return db
+
+    db_sync = build_db()
+    r_s, t_s, c_s = optimize_pose_graph(db_sync, 0, n - 1, iters=10)
+
+    db_async = build_db()
+    pend = optimize_pose_graph(db_async, 0, n - 1, iters=10,
+                               async_dispatch=True)
+    assert isinstance(pend, PendingOptimize)
+    # db writes must not have landed yet (opt poses still the vio seed)
+    np.testing.assert_allclose(db_async.opt_t[:n], db_async.vio_t[:n])
+    r_a, t_a, c_a = pend.finalize()
+    np.testing.assert_allclose(db_async.opt_t[:n], db_sync.opt_t[:n], atol=1e-12)
+    np.testing.assert_allclose(db_async.cov[:n], db_sync.cov[:n], atol=1e-12)
+    np.testing.assert_allclose(r_a, r_s, atol=1e-12)
+    np.testing.assert_allclose(t_a, t_s, atol=1e-12)
+    np.testing.assert_allclose(c_a, c_s, rtol=1e-12)
+    np.testing.assert_allclose(db_async.edge_dt[: n - 1],
+                               db_sync.edge_dt[: n - 1], atol=1e-12)

@@ -128,6 +128,12 @@ def test_system_loop_closure_reduces_drift():
     db = sys_.pgbuilder.db
     assert db.n >= 20, f"only {db.n} keyframes"
     assert sys_.pgbuilder.n_loops >= 1, "no loop closure fired on revisit"
+    # the default config runs the loop optimization asynchronously (the
+    # reference's decoupled optimizeCS thread): at least one solve must have
+    # been dispatched and collected off the streaming path
+    sys_.flush()
+    assert sys_.pgbuilder.n_async_collects >= 1
+    assert sys_.pgbuilder._pending_opt is None
 
     # optimized keyframe trajectory must beat raw VIO keyframe trajectory
     ts, t_opt, q_opt = sys_.pgbuilder.trajectory()
