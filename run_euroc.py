@@ -17,21 +17,25 @@ import time
 import numpy as np
 
 
-def main():
+def main(argv=None, cfg=None, dims=None):
+    """Replay a mav0 sequence. `cfg`/`dims` overrides exist for the
+    rehearsal integration test (a fixture rendered at test resolution);
+    the CLI always runs the real euroc_config. Returns a result dict
+    (n_frames, ate_rmse when ground truth is present, output paths)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("mav0", help="path to the sequence's mav0 directory")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from isvins_tpu.config import euroc_config
     from isvins_tpu.data import EurocDataset
     from isvins_tpu.system import System
     from isvins_tpu.utils.evaluation import ate_rmse
 
-    cfg = euroc_config()
-    sys_ = System(cfg, enable_loop=not args.no_loop)
+    cfg = cfg or euroc_config()
+    sys_ = System(cfg, dims, enable_loop=not args.no_loop, pipeline=True)
     ds = EurocDataset(args.mav0)
 
     t0 = time.time()
@@ -47,6 +51,7 @@ def main():
             if n_img % 100 == 0:
                 el = time.time() - t0
                 print(f"[{n_img} frames, {el:.1f}s, {n_img/el:.1f} fps]", flush=True)
+    sys_.flush()
 
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "pose_output.txt"), "w") as f:
@@ -69,10 +74,19 @@ def main():
         except Exception as e:  # plotting is best-effort
             print(f"covariance plot skipped: {e}")
 
+    rmse = None
     if ds.ground_truth is not None and sys_.vio_trajectory:
         traj = np.array([[t, *P] for (t, P, Q) in sys_.vio_trajectory])
         rmse = ate_rmse(traj[:, 0], traj[:, 1:4], ds.ground_truth["t"], ds.ground_truth["p"])
         print(f"ATE RMSE (SE3-aligned): {rmse:.4f} m over {len(traj)} poses")
+    return {
+        "n_frames": n_img,
+        "n_vio_poses": len(sys_.vio_trajectory),
+        "n_keyframes": (sys_.pgbuilder.db.n if sys_.pgbuilder else 0),
+        "ate_rmse": rmse,
+        "pose_output": os.path.join(args.out_dir, "pose_output.txt"),
+        "loop_pose_output": os.path.join(args.out_dir, "loop_pose_output.txt"),
+    }
 
 
 if __name__ == "__main__":
