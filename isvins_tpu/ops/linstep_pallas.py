@@ -255,13 +255,16 @@ def _linstep_for(n_pose: int):
         # the XLA reference.
         NB = int(axis_size)
         Dp = ((D + 127) // 128) * 128
-        # budget 3 (NB,Dp,Dp) f32 buffers: aliased A, the U scratch, and the
-        # dot_general temporary materialized by the rank-8 update
-        vmem_mb = 3 * NB * Dp * Dp * 4 / 1e6
+        # VMEM budget: 3 (NBc,Dp,Dp) f32 buffers per kernel launch (aliased
+        # A, the U scratch, and the dot_general temporary of the rank-8
+        # update). Batches larger than one launch's budget are CHUNKED over
+        # sequential launches inside _linstep_batched (lax.map), so only a
+        # single chunk of >=8 problems has to fit.
+        vmem_mb = 3 * 8 * Dp * Dp * 4 / 1e6
         if (
             Hb.dtype == jnp.float32
             and jax.default_backend() == "tpu"
-            and vmem_mb < 12.0
+            and vmem_mb < 15.0
         ):
             out = _linstep_batched(Hb, bb, Wb, hb, blb, lamb, n_pose)
         else:
@@ -297,7 +300,24 @@ def _linstep_batched(H, b, W, h, b_l, lam, n_pose: int):
     tr = jnp.sum(diagH, axis=1, keepdims=True)
     dvec = lam * diagH + 1e-12 * tr / D  # (NB, D)
     H_dd = H_s + jax.vmap(jnp.diag)(dvec)
-    dx = chol_solve_batched_pallas(H_dd, b_s)
+    # chunk the factorization so each kernel launch fits VMEM (3 (NBc,Dp,Dp)
+    # f32 buffers <= ~15 MB); the sublane-batched chain advances all NBc
+    # problems per step, so chunks of 8+ keep the latency win
+    NBc = max(8, int(15e6 // (3 * Dp * Dp * 4)))
+    NBc = 1 << (NBc.bit_length() - 1)
+    if NB <= NBc:
+        dx = chol_solve_batched_pallas(H_dd, b_s)
+    else:
+        pad = (-NB) % NBc
+        if pad:
+            H_dd = jnp.concatenate(
+                [H_dd, jnp.tile(jnp.eye(D, dtype=dtype)[None], (pad, 1, 1))])
+            b_s = jnp.concatenate([b_s, jnp.zeros((pad, D), dtype)])
+        G = (NB + pad) // NBc
+        dx = jax.lax.map(
+            lambda ab: chol_solve_batched_pallas(ab[0], ab[1]),
+            (H_dd.reshape(G, NBc, D, D), b_s.reshape(G, NBc, D)),
+        ).reshape(G * NBc, D)[:NB]
     dx_r = jnp.concatenate([dx[:, :n_pose], dx[:, D - (Dr - n_pose):]], axis=1)
     dl = (b_l - jnp.einsum("nfa,na->nf", W, dx_r)) / h_safe
     return dx, dl

@@ -44,12 +44,17 @@ def load_pose_graph(path: str, capacity: int = 0):
     for f in _DB_FIELDS:
         getattr(db, f)[:n] = z[f]
     # BoW vocabulary/tf state (older snapshots lack it: the vocabulary then
-    # re-freezes from the loaded keyframes on the next adds)
+    # re-freezes from the loaded keyframes on the next adds). The snapshot's
+    # vocabulary width wins — a database written at W=1024 keeps scoring
+    # with its own vocabulary after a load into a W=4096 build.
     if "vocab" in z.files:
         db.vocab = np.array(z["vocab"])
+        db.W = db.vocab.shape[0]
         db.vocab_frozen = bool(z["vocab_frozen"])
         db.df = np.array(z["df"])
+        db.tf = np.zeros((db.K, db.W), np.float32)
         db.tf[:n] = z["tf"]
+        db._wg_centers = None  # hierarchical index rebuilds lazily
     db.n = n
     return db
 

@@ -8,7 +8,7 @@ through the distortion-aware camera model, drives the full System
   - end-to-end pipeline fps,
   - SE3 ATE (scale errors count).
 
-Writes REALISM_r03.json. Run on the TPU backend for the deployment numbers;
+Writes REALISM_r04.json. Run on the TPU backend for the deployment numbers;
 runs on CPU too (slower).
 """
 
@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import isvins_tpu  # noqa: F401  (x64 config)
 
 
-def main(n_frames=80, out_path="REALISM_r03.json"):
+def main(n_frames=80, out_path="REALISM_r04.json"):
     import isvins_tpu  # noqa: F401
     from isvins_tpu.config import (
         CameraConfig, NoiseConfig, PoseGraphConfig, TrackerConfig, WindowConfig,
@@ -63,47 +63,67 @@ def main(n_frames=80, out_path="REALISM_r03.json"):
     renderer = RoomRenderer(world, cam, np.zeros(3), qic, seed=11,
                             camera_model=camera_model, tex_res=512)
 
-    print(f"# rendering {n_frames} frames at {cam.width}x{cam.height} "
-          f"with radtan distortion...", file=sys.stderr)
-    t0 = time.time()
-    frames = [renderer.render(k)[0] for k in range(n_frames)]
-    print(f"# rendered in {time.time()-t0:.0f}s", file=sys.stderr)
+    import os
+    cache = (f"/tmp/isvins_realism_frames_{n_frames}x{cam.width}x{cam.height}"
+             f"_seed7_tex512.npz")
+    if os.path.exists(cache):
+        frames = list(np.load(cache)["frames"])
+    else:
+        print(f"# rendering {n_frames} frames at {cam.width}x{cam.height} "
+              f"with radtan distortion...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        frames = [renderer.render(k)[0] for k in range(n_frames)]
+        print(f"# rendered in {time.time()-t0:.0f}s", file=sys.stderr)
+        np.savez_compressed(cache, frames=np.stack(frames).astype(np.float32))
 
-    sys_ = System(cfg, dims, enable_loop=False)
+    # product configuration: dispatch-pipelined tracker (System.pub_image),
+    # async loop optimization default; tracker cost via dispatch+collect
+    from isvins_tpu.frontend.tracker import FeatureTracker
     t_track = []
     t_frame = []
+    orig_collect = FeatureTracker.collect
+    orig_dispatch = FeatureTracker.dispatch
+    tr_acc = [0.0]
+    def timed_dispatch(self, *a, **k):
+        t0 = time.perf_counter()
+        out = orig_dispatch(self, *a, **k)
+        tr_acc[0] += time.perf_counter() - t0
+        return out
+    def timed_collect(self, *a, **k):
+        t0 = time.perf_counter()
+        out = orig_collect(self, *a, **k)
+        tr_acc[0] += time.perf_counter() - t0
+        return out
+    FeatureTracker.dispatch = timed_dispatch
+    FeatureTracker.collect = timed_collect
+
+    sys_ = System(cfg, dims, enable_loop=False, pipeline=True)
     first_solved = None
-    for k in range(n_frames):
-        if k > 0:
-            n = int(np.sum(world.imu_dts[k - 1] > 0))
-            acc_t = world.frame_times[k - 1]
-            for s in range(n):
-                acc_t += world.imu_dts[k - 1][s]
-                sys_.pub_imu(acc_t, world.imu_accs[k - 1][s], world.imu_gyrs[k - 1][s])
-        ta = time.perf_counter()
-        out = sys_.tracker.read_image(frames[k], world.frame_times[k])
-        tb = time.perf_counter()
-        # feed the REAL pipeline too (tracker state is shared: read_image is
-        # stateful, so re-publishing would double-track; drive System's
-        # downstream directly)
-        sys_.image_ring.append((world.frame_times[k],
-                                np.asarray(frames[k], dtype=np.uint8)))
-        if k > 0:
-            sel = out["track_cnt"] > 1
-            if sel.sum() > 0:
-                sys_.feature_buf.append({
-                    "t": world.frame_times[k], "ids": out["ids"][sel],
-                    "pts": out["pts_norm"][sel], "vel": out["vel"][sel],
-                })
-                sys_._process()
-        tc = time.perf_counter()
-        if k >= 2:  # skip compile frames
-            t_track.append(tb - ta)
-            t_frame.append(tc - ta)
-        if first_solved is None and sys_.estimator.solver_flag == 2:
-            first_solved = k
-            t_track.clear()
-            t_frame.clear()
+    try:
+        for k in range(n_frames):
+            ta = time.perf_counter()
+            tr_acc[0] = 0.0
+            if k > 0:
+                n = int(np.sum(world.imu_dts[k - 1] > 0))
+                acc_t = world.frame_times[k - 1]
+                for s in range(n):
+                    acc_t += world.imu_dts[k - 1][s]
+                    sys_.pub_imu(acc_t, world.imu_accs[k - 1][s],
+                                 world.imu_gyrs[k - 1][s])
+            sys_.pub_image(world.frame_times[k], frames[k])
+            if k == n_frames - 1:
+                sys_.flush()
+            tc = time.perf_counter()
+            if k >= 2:
+                t_track.append(tr_acc[0])
+                t_frame.append(tc - ta)
+            if first_solved is None and sys_.estimator.solver_flag == 2:
+                first_solved = k
+                t_track.clear()
+                t_frame.clear()
+    finally:
+        FeatureTracker.dispatch = orig_dispatch
+        FeatureTracker.collect = orig_collect
 
     traj = sys_.vio_trajectory
     t_est = np.array([t for (t, P, Q) in traj])

@@ -34,7 +34,7 @@ jax.config.update("jax_platforms", "cpu")
 import isvins_tpu  # noqa: F401
 from isvins_tpu.config import CameraConfig, PoseGraphConfig, euroc_config
 from isvins_tpu.frontend.image_ops import nms_topk, shi_tomasi_response
-from isvins_tpu.geom.hostmath import mat_to_quat_np, mat_to_ypr, quat_to_mat
+from isvins_tpu.geom.hostmath import mat_to_quat_np, mat_to_ypr_np, quat_to_mat_np
 from isvins_tpu.posegraph.brief import brief_descriptors, make_brief_pattern
 from isvins_tpu.posegraph.builder import PoseGraphBuilder
 from isvins_tpu.posegraph.keyframe_db import KeyframeDB
@@ -97,11 +97,11 @@ def build_db(n_kf: int, seed: int = 4):
         kp_norm = (np.concatenate([cand, np.ones((len(cand), 1))], 1) @ Kinv.T)[:, :2]
 
         # GT world pose of the camera
-        R_wb = np.asarray(quat_to_mat(jnp.asarray(world.Q[k])))
+        R_wb = quat_to_mat_np(np.asarray(world.Q[k]))
         R_wc = R_wb @ R_bc
         C_w = world.P[k]
         gt_t[k] = C_w
-        gt_yaw[k] = np.asarray(mat_to_ypr(jnp.asarray(R_wb)))[0]
+        gt_yaw[k] = mat_to_ypr_np(R_wb)[0]
 
         # window points: GT 3D of the strongest detections (ray-cast depth)
         P = db.P
@@ -228,6 +228,8 @@ def main():
         "loop_rel_yaw_err_median_deg": round(float(np.median(errs[:, 1])), 3) if len(errs) else None,
     }
     print(json.dumps(out) if args.json else out)
+    with open("RETRIEVAL_r04.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

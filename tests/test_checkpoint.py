@@ -75,9 +75,10 @@ def test_pre_bow_snapshot_freezes_vocab_from_loaded_map(rng):
     assert db2.vocab_frozen
     stored = set(map(tuple, db2.kp_desc[:56][db2.kp_valid[:56]].tolist()))
     in_pool = sum(tuple(w) in stored for w in db2.vocab.tolist())
-    # 56*32 = 1792 distinct random descriptors >= W=1024: every vocabulary
-    # word must come from the stored map, none from random padding
-    assert in_pool == db2.W
+    # every stored descriptor must appear as a vocabulary word (the pool is
+    # smaller than W, so the whole loaded map is covered; the rest is
+    # random-pattern padding by design)
+    assert in_pool == min(db2.W, len(stored))
     assert (db2.tf[:56].sum(axis=1) > 0).all()
 
 
