@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..estimator.marginalization import PoseGraphPacket
@@ -64,7 +65,10 @@ class PoseGraphBuilder:
         self.cfg = cfg
         self.pg = pg
         self.db = KeyframeDB(pg.max_keyframes, pg.max_kp_per_kf, 256)
-        self.pattern = jnp.asarray(make_brief_pattern(pg.brief_bits))
+        # numpy, not a device array: a jit that closes over a committed
+        # device constant re-uploads it per trace on the remote runtime
+        self.pattern = np.asarray(make_brief_pattern(pg.brief_bits))
+        self._kf_prog = None  # fused keyframe device program (lazy jit)
         self.camera = camera  # camera model (make_camera) for norm->pixel projection
         self.accum = _Accum.identity()
         self.last_kf: Optional[int] = None
@@ -187,64 +191,47 @@ class PoseGraphBuilder:
         kp_norm = np.zeros((db.D, 2))
         kp_valid = np.zeros(db.D, bool)
         if a.image is not None:
-            img = jnp.asarray(a.image, jnp.float32)
-            n_w = 0
+            # ONE fused device call per keyframe: window-point projection +
+            # bounds gate + BRIEF on window points + Shi-Tomasi/NMS detection
+            # + BRIEF on detections + undistortion. The previous 5 separate
+            # calls cost ~150 ms of pure round-trip latency per keyframe on
+            # the remote runtime (~30 ms each), dominating the loops-enabled
+            # e2e frame time (keyframe.cpp:43-69 runs these on the decoupled
+            # pose-graph thread; our single host thread must keep the device
+            # traffic per keyframe minimal instead).
+            norm = np.zeros((P, 2))
+            normv = np.zeros(P, bool)
+            pts_w_pad = np.zeros((P, 3))
             if kf_pts is not None and len(kf_pts.points_w) > 0:
-                norm = kf_pts.pts_norm
-                pts_w = kf_pts.points_w
-                if self.camera is not None:
-                    pts3 = np.concatenate([norm, np.ones((len(norm), 1))], axis=1)
-                    px = np.asarray(self.camera.space_to_plane(jnp.asarray(pts3)))
-                    # drop projections outside the image (the export projects
-                    # every solved landmark into this keyframe; ones outside
-                    # the frame have no measurable descriptor)
-                    cc = self.cfg.camera
-                    inb = (
-                        (px[:, 0] >= 14) & (px[:, 0] <= cc.width - 15)
-                        & (px[:, 1] >= 14) & (px[:, 1] <= cc.height - 15)
-                    )
-                    norm, pts_w, px = norm[inb], pts_w[inb], px[inb]
-                else:
-                    px = norm  # tests may pass pixel coords directly
-                n_w = min(len(pts_w), P)
-                if len(pts_w) > P:
+                m = len(kf_pts.points_w)
+                if m > P:
                     logging.getLogger(__name__).warning(
                         "keyframe window-point cap: %d points > P=%d; "
-                        "dropping %d", len(pts_w), P, len(pts_w) - P,
+                        "dropping %d", m, P, m - P,
                     )
-                if n_w > 0:
-                    wd = np.asarray(
-                        brief_descriptors(
-                            img, jnp.asarray(px[:n_w]), jnp.ones(n_w, bool), self.pattern
-                        )
-                    )
-                    win_desc[:n_w] = wd
-                    win_valid[:n_w] = True
-                    win_pts3d[:n_w] = pts_w[:n_w]
-                    win_norm[:n_w] = norm[:n_w]
-                    # window descriptors are also matchable (reference adds both)
-                    kp_desc[:n_w] = wd
-                    kp_norm[:n_w] = norm[:n_w]
-                    kp_valid[:n_w] = True
+                    m = P
+                norm[:m] = kf_pts.pts_norm[:m]
+                pts_w_pad[:m] = kf_pts.points_w[:m]
+                normv[:m] = True
+            px, inb, wd, cand, okc, kd, un = self._kf_device_step(
+                a.image, norm, normv)
 
-            # extra detected keypoints over the full frame (keyframe.cpp:55–69);
-            # extracted whenever an image exists — these make the keyframe
-            # retrievable and matchable-against even when the window-point
-            # export came up empty
-            resp = shi_tomasi_response(img)
-            n_det = db.D - n_w
-            cand, vals, okc = nms_topk(resp, db.D, 10, border=12)
-            cand = np.array(cand)[:n_det]
-            kd = np.asarray(
-                brief_descriptors(img, jnp.asarray(cand), jnp.ones(len(cand), bool), self.pattern)
-            )
-            kp_desc[n_w : n_w + len(cand)] = kd
-            kp_valid[n_w : n_w + len(cand)] = True
-            if self.camera is not None:
-                un = np.asarray(self.camera.lift_projective(jnp.asarray(cand)))
-                kp_norm[n_w : n_w + len(cand)] = un[:, :2]
-            else:
-                kp_norm[n_w : n_w + len(cand)] = cand
+            rows = np.where(inb)[0]
+            n_w = len(rows)
+            win_desc[:n_w] = wd[rows]
+            win_valid[:n_w] = True
+            win_pts3d[:n_w] = pts_w_pad[rows]
+            win_norm[:n_w] = norm[rows]
+            # window descriptors are also matchable (reference adds both)
+            kp_desc[:n_w] = wd[rows]
+            kp_norm[:n_w] = norm[rows]
+            kp_valid[:n_w] = True
+
+            # extra detected keypoints over the full frame (keyframe.cpp:55–69)
+            n_det = int(min(db.D - n_w, okc.sum()))
+            kp_desc[n_w : n_w + n_det] = kd[:n_det]
+            kp_valid[n_w : n_w + n_det] = True
+            kp_norm[n_w : n_w + n_det] = un[:n_det]
 
         idx = db.add(
             ts=a.ts,
@@ -318,6 +305,71 @@ class PoseGraphBuilder:
 
         self.accum = _Accum.identity()
         return idx
+
+    def _kf_device_step(self, image, norm, normv):
+        """Fused per-keyframe device program (lazy-jitted once): project the
+        exported window points through the camera, gate to the image bounds,
+        extract BRIEF at the projections, detect up to D Shi-Tomasi corners
+        (NMS), extract BRIEF at the detections, and undistort them — one
+        dispatch instead of five."""
+        if self._kf_prog is None:
+            cam = self.camera
+            cc = self.cfg.camera
+            pattern = self.pattern
+            D = self.db.D
+
+            P = self.db.P
+
+            @jax.jit
+            def prog(img, norm, normv):
+                img = img.astype(jnp.float32)
+                norm = norm.astype(jnp.float32)
+                if cam is not None:
+                    pts3 = jnp.concatenate(
+                        [norm, jnp.ones((norm.shape[0], 1), norm.dtype)], axis=1)
+                    px = cam.space_to_plane(pts3)
+                    inb = (
+                        normv
+                        & (px[:, 0] >= 14) & (px[:, 0] <= cc.width - 15)
+                        & (px[:, 1] >= 14) & (px[:, 1] <= cc.height - 15)
+                    )
+                else:
+                    px = norm  # tests may pass pixel coords directly
+                    inb = normv
+                wd = brief_descriptors(img, px, inb, pattern)
+                resp = shi_tomasi_response(img)
+                cand, vals, okc = nms_topk(resp, D, 10, border=12)
+                kd = brief_descriptors(img, cand, okc, pattern)
+                if cam is not None:
+                    un = cam.lift_projective(cand)[:, :2]
+                else:
+                    un = cand
+                # pack into TWO transfer buffers: pulling 7 outputs one
+                # np.asarray at a time cost 7 blocking round trips (~190 ms
+                # per keyframe on the remote runtime); two async-copied
+                # buffers cost ~one
+                fbuf = jnp.concatenate(
+                    [px.astype(jnp.float32),
+                     inb[:, None].astype(jnp.float32)], axis=1)  # (P, 3)
+                fbuf2 = jnp.concatenate(
+                    [cand.astype(jnp.float32),
+                     okc[:, None].astype(jnp.float32),
+                     un.astype(jnp.float32)], axis=1)  # (D, 5)
+                return fbuf, fbuf2, wd, kd
+
+            self._kf_prog = prog
+        raw = self._kf_prog(jnp.asarray(image), jnp.asarray(norm),
+                            jnp.asarray(normv))
+        for r in raw:
+            if hasattr(r, "copy_to_host_async"):
+                r.copy_to_host_async()
+        fbuf, fbuf2, wd, kd = (np.asarray(r) for r in raw)
+        px = fbuf[:, :2]
+        inb = fbuf[:, 2] > 0.5
+        cand = fbuf2[:, :2]
+        okc = fbuf2[:, 2] > 0.5
+        un = fbuf2[:, 3:5]
+        return px, inb, wd, cand, okc, kd, un
 
     # ---------------------------------------------- async loop optimization
     def _request_optimize(self, idx: int):
@@ -418,7 +470,20 @@ class PoseGraphBuilder:
         """keyframe.cpp findConnection (:232–282): Hamming match cur window
         descriptors vs old detected keypoints (ratio + cross-check cleaned —
         raw nearest-neighbor BRIEF on repetitive texture is 50%+ false and
-        starves the RANSAC), initialization-free PnP-RANSAC, gates."""
+        starves the RANSAC), initialization-free PnP-RANSAC, gates.
+
+        The matching + RANSAC math is routed to the CPU backend on an
+        accelerator deployment: the inputs are f64 host state (f64 on TPU is
+        software-emulated — a verification attempt measured ~1 s through the
+        remote runtime vs ~10 ms on the host CPU backend), and the problem
+        is hundreds of points, far below device scale."""
+        import contextlib
+        ctx = (contextlib.nullcontext() if jax.default_backend() == "cpu"
+               else jax.default_device(jax.devices("cpu")[0]))
+        with ctx:
+            return self._find_connection_impl(cur, old)
+
+    def _find_connection_impl(self, cur: int, old: int) -> bool:
         db = self.db
         wv = db.win_valid[cur]
         if wv.sum() < self.pg.min_loop_matches:
