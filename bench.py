@@ -191,7 +191,10 @@ def bench_e2e(budget_s: float = 1500.0):
         frames = [renderer.render(k)[0] for k in range(n_frames)]
         np.savez_compressed(cache, frames=np.stack(frames))
 
+    from isvins_tpu.utils import perf
+
     sys_ = System(cfg, dims, enable_loop=True, pipeline=True)
+    perf.enable(True)
     steady_dts = []
     t_wall0 = time.perf_counter()
     t_steady0 = None
@@ -226,6 +229,7 @@ def bench_e2e(budget_s: float = 1500.0):
                 t_steady0 = time.perf_counter() - t_wall0
                 print(f"# e2e ramp-to-steady: {t_steady0:.1f}s "
                       f"(init done at frame {k})", file=sys.stderr, flush=True)
+                perf.reset()  # attribute only the steady-state frames
             steady_dts.append(dt)
     if len(steady_dts) < 8:
         return None, {}
@@ -250,6 +254,13 @@ def bench_e2e(budget_s: float = 1500.0):
     print(f"# e2e_pipeline (tracker+estimator, steady-state): median "
           f"{med*1e3:.1f} ms/frame (p90 {p90*1e3:.1f}) over {len(tail)} frames "
           f"-> {e2e_fps:.1f} frames/s", file=sys.stderr, flush=True)
+    # per-frame phase budget breakdown over ALL steady frames (VERDICT r04
+    # ask #2: attribute the overhead, then eliminate the top items)
+    print("# --- per-frame phase breakdown (steady state) ---",
+          file=sys.stderr, flush=True)
+    for line in perf.report(n_frames=len(steady_dts)).splitlines():
+        print(f"# {line}", file=sys.stderr, flush=True)
+    perf.enable(False)
     return e2e_fps, detail
 
 

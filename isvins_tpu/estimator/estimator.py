@@ -66,6 +66,7 @@ from .marginalization import (
     marg_forward,
 )
 from ..utils.packing import PackedFn
+from ..utils import perf
 
 _log = logging.getLogger(__name__)
 
@@ -425,7 +426,7 @@ class Estimator:
         whole solve (state, factors, priors); host state stays float64. f64
         solves (init BA) run on the CPU backend (_f64_device); the f32
         steady-state solve runs on the accelerator."""
-        with self._f64_device():
+        with self._f64_device(), perf.phase("est.triangulate"):
             self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
 
         solve_ctx = self._f64_device() if dtype is None else contextlib.nullcontext()
@@ -434,10 +435,12 @@ class Estimator:
 
     def _solve_once_inner(self, priors: PriorState, iters: int, dtype):
         state = self._window_state()
-        imu_f = self._imu_factors()
-        pf = self.f_manager.build_proj_factors(
-            self.dims.N, marg_old=(self.marginalization_flag == MARGIN_OLD)
-        )
+        with perf.phase("est.imu_factors"):
+            imu_f = self._imu_factors()
+        with perf.phase("est.build_proj"):
+            pf = self.f_manager.build_proj_factors(
+                self.dims.N, marg_old=(self.marginalization_flag == MARGIN_OLD)
+            )
         proj = ProjFactors(
             idx_i=np.asarray(pf["idx_i"], np.int32),
             idx_j=np.asarray(pf["idx_j"], np.int32),
@@ -469,7 +472,8 @@ class Estimator:
                     args, float_dtype=dtype,
                 )
                 self._packed_solves[key] = pfn
-            new_state, cost = pfn(*args)
+            with perf.phase("est.solve_device"):
+                new_state, cost = pfn(*args)
         else:
             with self._f64_device():
                 new_state, cost = _to_np(solve_window(
@@ -658,16 +662,19 @@ class Estimator:
 
         # post-solve reprojection outlier culling (flagged rows are erased by
         # remove_failures after the slide; see FeatureManager.mark_outliers)
-        self.f_manager.mark_outliers(
-            self.Ps, self.Qs, self.tic, self.qic,
-            focal=float(self.cfg.camera.fx),
-            thresh_px=self.cfg.solver.outlier_reproj_px,
-        )
+        with perf.phase("est.mark_outliers"):
+            self.f_manager.mark_outliers(
+                self.Ps, self.Qs, self.tic, self.qic,
+                focal=float(self.cfg.camera.fx),
+                thresh_px=self.cfg.solver.outlier_reproj_px,
+            )
 
         # exact pseudo-measurement drag old -> final states (:1132–1144)
-        self._drag_priors(old_P, old_Q, old_V, old_Ba, old_Bg)
+        with perf.phase("est.drag_priors"):
+            self._drag_priors(old_P, old_Q, old_V, old_Ba, old_Bg)
         if self.marginalization_flag == MARGIN_OLD:
-            self._marginalize(pf, G, psi)
+            with perf.phase("est.marginalize"):
+                self._marginalize(pf, G, psi)
 
     def _reanchor(self, st: WindowState, P0_old, Q0_old) -> WindowState:
         """Rotate/translate the solution so frame-0 yaw and position match
@@ -789,32 +796,35 @@ class Estimator:
         mf[:n] = pf["marg_fidx"][keep]
         mv[:n] = True
 
-        t1, q1, sq1, packet, kld_f = _to_np(_marg_forward_j(
-            state, pr, mp_i, mp_j, mf, mv,
-            np.asarray(psi), self.cfg.solver.alpha, self.Headers[0],
-        ))
+        with perf.phase("est.marg_forward"):
+            t1, q1, sq1, packet, kld_f = _to_np(_marg_forward_j(
+                state, pr, mp_i, mp_j, mf, mv,
+                np.asarray(psi), self.cfg.solver.alpha, self.Headers[0],
+            ))
         self.pose_graph_packets.append(packet)
         self.last_kld["forward"] = float(kld_f)
         self._pending_se3 = (t1, q1, sq1)
 
         # re-integrate ONLY segment Vo (frames Vo-1 -> Vo) at the post-solve
         # bias (the reference's repropagate; estimator.cpp:1382)
-        pre_ij = _to_np(self._integrate_one(
-            self.imu_dt[Vo], self.imu_acc[Vo], self.imu_gyr[Vo],
-            self.imu_acc0[Vo], self.imu_gyr0[Vo],
-            self.Bas[Vo - 1], self.Bgs[Vo - 1],
-        ))
-        (rel_dt, rel_dq, rel_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt, kld_b) = _to_np(
-            _marg_backward_j(
-                state, pre_ij, pr, np.asarray(G), Vo=Vo,
-                alpha=self.cfg.solver.alpha,
+        with perf.phase("est.marg_backward"):
+            pre_ij = _to_np(self._integrate_one(
+                self.imu_dt[Vo], self.imu_acc[Vo], self.imu_gyr[Vo],
+                self.imu_acc0[Vo], self.imu_gyr0[Vo],
+                self.Bas[Vo - 1], self.Bgs[Vo - 1],
+            ))
+            (rel_dt, rel_dq, rel_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt, kld_b) = _to_np(
+                _marg_backward_j(
+                    state, pre_ij, pr, np.asarray(G), Vo=Vo,
+                    alpha=self.cfg.solver.alpha,
+                )
             )
-        )
         self.last_kld["backward"] = float(kld_b)
         self._pending_backward = (rel_dt, rel_dq, rel_sqrt, vb_m, vb_sqrt, rp_q, rp_sqrt)
 
         # keyframe points export for the pose graph (System.cpp:356–397)
-        self._export_keyframe_points()
+        with perf.phase("est.export_kf_points"):
+            self._export_keyframe_points()
 
     def _export_keyframe_points(self):
         """Export world points + their frame-0 normalized projections for the

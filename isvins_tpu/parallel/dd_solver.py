@@ -70,7 +70,14 @@ def _route(nd: int, Ki: int, owner_of, idxs, cap: int):
     slot = np.zeros((nd, cap), np.int32)
     valid = np.zeros((nd, cap), bool)
     for d in range(nd):
-        b = buckets[d][:cap]
+        b = buckets[d]
+        if len(b) > cap:
+            # cap comes from route_family's independent owner pass; a
+            # mismatch would silently drop edges from the solve — fail loud
+            raise AssertionError(
+                f"dd _route capacity mismatch: device {d} got {len(b)} edges "
+                f"> cap={cap}"
+            )
         slot[d, : len(b)] = b
         valid[d, : len(b)] = True
     return slot, valid
@@ -94,17 +101,31 @@ def dd_partition(nd: int, K: int, e_i, e_j, e_valid, rp_i, rp_valid,
 
     interface = [d * Ki for d in range(1, nd)]
     iface_set = set(interface)
-    # promote the later endpoint of every cross-segment loop edge (unless an
-    # endpoint already is interface, which un-crosses it)
-    for k in np.nonzero(loop_valid)[0]:
-        i, j = int(loop_i[k]), int(loop_j[k])
-        if i in iface_set or j in iface_set:
-            continue
-        if seg(i) != seg(j):
-            p = max(i, j)
-            iface_set.add(p)
-            interface.append(p)
+    # promote the later endpoint of every cross-segment edge — LOOP edges
+    # and sequential-family edges alike — unless an endpoint already is
+    # interface, which un-crosses it. The chain edges optimize.py builds
+    # always cross exactly at a cut (e_j == d*Ki is a separator), so the
+    # e-family pass promotes nothing today; it enforces the routing
+    # invariant (every edge has an interior-or-interface placement for both
+    # endpoints) instead of assuming the caller's edge topology.
+    for fam_i, fam_j, fam_valid in (
+        (loop_i, loop_j, loop_valid),
+        (e_i, e_j, e_valid),
+    ):
+        for k in np.nonzero(np.asarray(fam_valid))[0]:
+            i, j = int(fam_i[k]), int(fam_j[k])
+            if i in iface_set or j in iface_set:
+                continue
+            if seg(i) != seg(j):
+                p = max(i, j)
+                iface_set.add(p)
+                interface.append(p)
     NB = _pow2(len(interface))
+    # the with_cov back-solve shards S^{-1} block-columns as NB // nd per
+    # device: NB must divide evenly (structurally true for pow2 NB >= 8 and
+    # pow2 nd <= 8, made explicit here so a future _pow2 change fails safe)
+    if NB % nd != 0:
+        NB = ((NB + nd - 1) // nd) * nd
     bnd_glob = np.zeros(NB, np.int32)
     bnd_glob[: len(interface)] = np.asarray(interface, np.int32)
     bnd_valid = np.zeros(NB, bool)

@@ -40,6 +40,7 @@ from .brief import brief_descriptors, make_brief_pattern, match_descriptors_clea
 from .keyframe_db import KeyframeDB
 from .optimize import optimize_pose_graph
 from ..frontend.image_ops import nms_topk, shi_tomasi_response
+from ..utils import perf
 
 
 @dataclass
@@ -213,8 +214,9 @@ class PoseGraphBuilder:
                 norm[:m] = kf_pts.pts_norm[:m]
                 pts_w_pad[:m] = kf_pts.points_w[:m]
                 normv[:m] = True
-            px, inb, wd, cand, okc, kd, un = self._kf_device_step(
-                a.image, norm, normv)
+            with perf.phase("pg.kf_device_step"):
+                px, inb, wd, cand, okc, kd, un = self._kf_device_step(
+                    a.image, norm, normv)
 
             rows = np.where(inb)[0]
             n_w = len(rows)
@@ -281,13 +283,15 @@ class PoseGraphBuilder:
         # restores the same loop recall at equal precision (PnP + yaw/dist
         # gates reject wrong candidates)
         if self.pg.enabled:
-            cands = self.db.query(
-                idx, self.pg.skip_recent, self.pg.top_k,
-                match_thresh=self.pg.retrieval_match_thresh,
-                abs_frac=self.pg.retrieval_abs_frac,
-                bow_abs=self.pg.bow_abs_score,
-            )
-            old = next((c for c in cands if self._find_connection(idx, c)), -1)
+            with perf.phase("pg.query"):
+                cands = self.db.query(
+                    idx, self.pg.skip_recent, self.pg.top_k,
+                    match_thresh=self.pg.retrieval_match_thresh,
+                    abs_frac=self.pg.retrieval_abs_frac,
+                    bow_abs=self.pg.bow_abs_score,
+                )
+            with perf.phase("pg.find_connection"):
+                old = next((c for c in cands if self._find_connection(idx, c)), -1)
             if old >= 0:
                 self.n_loops += 1
                 # inter-sequence loop: align the current sequence's VIO frame
@@ -338,7 +342,11 @@ class PoseGraphBuilder:
                     inb = normv
                 wd = brief_descriptors(img, px, inb, pattern)
                 resp = shi_tomasi_response(img)
-                cand, vals, okc = nms_topk(resp, D, 10, border=12)
+                # border >= the BRIEF patch half-size (14): _brief_inner
+                # clips the 28x28 patch origin to the image, so a keypoint
+                # closer than 14 px to an edge would get a silently shifted
+                # descriptor (ADVICE r04)
+                cand, vals, okc = nms_topk(resp, D, 10, border=14)
                 kd = brief_descriptors(img, cand, okc, pattern)
                 if cam is not None:
                     un = cam.lift_projective(cand)[:, :2]
@@ -395,15 +403,16 @@ class PoseGraphBuilder:
             # wants a re-run with the larger range
             self._opt_dirty = max(self._opt_dirty or idx, idx)
             return
-        self._pending_opt = optimize_pose_graph(
-            self.db, self.earliest_loop, idx,
-            dist_min_poses=self.pg.dist_min_poses,
-            max_active=self.pg.max_active_poses,
-            async_dispatch=True,
-        )
+        with perf.phase("pg.opt_dispatch"):
+            self._pending_opt = optimize_pose_graph(
+                self.db, self.earliest_loop, idx,
+                dist_min_poses=self.pg.dist_min_poses,
+                max_active=self.pg.max_active_poses,
+                async_dispatch=True,
+            )
         self._opt_align_epoch = self.n_sequence_aligns
 
-    def _poll_optimize(self, block: bool = True):
+    def _poll_optimize(self):
         """Collect a finished in-flight optimization (called at each new
         keyframe and from the output accessors). Applies opt poses, covs,
         retro-updated edges and the drift; if more loops fired while the
@@ -416,7 +425,8 @@ class PoseGraphBuilder:
         pend = self._pending_opt
         self._pending_opt = None
         if self._opt_align_epoch == self.n_sequence_aligns:
-            r_d, t_d, _ = pend.finalize()
+            with perf.phase("pg.opt_finalize"):
+                r_d, t_d, _ = pend.finalize()
             self.r_drift = r_d
             self.t_drift = t_d
             self.n_async_collects += 1

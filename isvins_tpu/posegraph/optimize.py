@@ -179,7 +179,8 @@ class PendingOptimize:
 
     def finalize(self):
         from ..factors.priors import relpose_update_np
-        from ..geom.hostmath import quat_to_mat_np
+        from ..geom.hostmath import (mat_to_quat_np, quat_mul_np,
+                                     quat_normalize_np, quat_to_mat_np)
 
         db, first_idx, cur_idx, n = self.db, self.first_idx, self.cur_idx, self._n
         t2 = np.array(self._t2)[:n]
@@ -213,6 +214,13 @@ class PendingOptimize:
         R_vio = quat_to_mat_np(db.vio_q[cur_idx])
         r_drift = R_cur @ R_vio.T
         t_drift = t2[-1] - r_drift @ db.vio_t[cur_idx]
+        # re-apply the new drift to keyframes added after cur_idx (they were
+        # written with the stale drift while this solve was in flight) —
+        # the reference's trailing update loop, pose_graph.cpp:408–417
+        q_drift = mat_to_quat_np(r_drift)
+        for k in range(cur_idx + 1, db.n):
+            db.opt_t[k] = r_drift @ db.vio_t[k] + t_drift
+            db.opt_q[k] = quat_normalize_np(quat_mul_np(q_drift, db.vio_q[k]))
         return r_drift, t_drift, float(np.asarray(self._cost))
 
 

@@ -17,6 +17,8 @@ the optimized keyframe trajectory (loop_pose_output.txt).
 
 from __future__ import annotations
 
+import queue
+import threading
 from collections import deque
 from typing import List, Optional, Tuple
 
@@ -27,11 +29,13 @@ from .estimator.estimator import Estimator, MARGIN_OLD, NON_LINEAR
 from .frontend import FeatureTracker, make_camera
 from .posegraph import PoseGraphBuilder
 from .solver import WindowDims
+from .utils import perf
 
 
 class System:
     def __init__(self, cfg: EngineConfig, dims: Optional[WindowDims] = None,
-                 enable_loop: bool = True, pipeline: bool = False):
+                 enable_loop: bool = True, pipeline: bool = False,
+                 pg_thread: bool = False):
         """pipeline=True enables dispatch-level pipelining: pub_image
         dispatches the tracker's fused device step asynchronously and runs
         the PREVIOUS frame's estimator update while it computes, hiding the
@@ -39,7 +43,18 @@ class System:
         stages with its tracker/backend threads, System.cpp:224). Outputs are
         identical to the synchronous mode — packets are processed in the same
         order with the same values, one pub_image later; call flush() at end
-        of stream."""
+        of stream.
+
+        pg_thread=True runs the ENTIRE pose-graph builder (keyframe BRIEF,
+        retrieval, PnP loop verification, optimization dispatch) on a worker
+        thread consuming a packet queue — the reference's decoupled
+        pose-graph thread (pose_graph_builder.cpp's process() thread +
+        pose_graph.cpp:425 optimizeCS poll thread). The builder is a pure
+        consumer of the VIO stream (drift is applied to its own keyframe db,
+        never fed back into the estimator), so the frame path sheds all
+        keyframe-time device work and compile stalls; packets are processed
+        in order, outputs are identical modulo WHEN drift updates land
+        (eventually-consistent, same as the reference's poll thread)."""
         self.cfg = cfg
         self.pipeline = pipeline
         self._pending_pub = None  # (t, pub_this) of the in-flight tracker frame
@@ -50,6 +65,17 @@ class System:
             if (enable_loop and cfg.posegraph.enabled)
             else None
         )
+        self._pg_queue: Optional[queue.Queue] = None
+        self._pg_worker_thread: Optional[threading.Thread] = None
+        self._pg_exc: Optional[BaseException] = None
+        if self.pgbuilder is not None and pg_thread:
+            # bounded queue: backpressure if the worker ever falls behind the
+            # keyframe rate (the reference's buf_mutex'd keyframe queue is
+            # unbounded; bounding keeps worst-case memory and staleness small)
+            self._pg_queue = queue.Queue(maxsize=64)
+            self._pg_worker_thread = threading.Thread(
+                target=self._pg_worker, daemon=True, name="posegraph")
+            self._pg_worker_thread.start()
 
         self.imu_buf: deque = deque()
         self.feature_buf: deque = deque()
@@ -90,7 +116,13 @@ class System:
             self.tracker.reset()
             self.feature_buf.clear()
             if self.pgbuilder is not None:
-                self.pgbuilder.new_sequence()
+                if self._pg_queue is not None:
+                    # ordered with the packets already queued: the worker
+                    # owns all builder state, so the sequence break rides
+                    # the same queue instead of racing a mid-push builder
+                    self._pg_queue.put(("new_seq",))
+                else:
+                    self.pgbuilder.new_sequence()
         self.last_image_time = t
 
         # frequency control (System.cpp:82–95)
@@ -123,11 +155,13 @@ class System:
         if self._pending_pub is not None:
             t0, pub0 = self._pending_pub
             self._pending_pub = None
-            out = self.tracker.collect()
+            with perf.phase("trk.collect"):
+                out = self.tracker.collect()
             self._queue_packet(t0, pub0, out)
         if dispatch_next is not None:
             t, pub_this, img = dispatch_next
-            self.tracker.dispatch(img, t)
+            with perf.phase("trk.dispatch"):
+                self.tracker.dispatch(img, t)
             self._pending_pub = (t, pub_this)
 
     def _queue_packet(self, t: float, pub_this: bool, out: dict):
@@ -155,8 +189,39 @@ class System:
         mode's analogue of joining the reference's threads)."""
         self._collect_pending()
         self._process()
+        self._pg_join()
         if self.pgbuilder is not None:
             self.pgbuilder.flush_optimize()
+
+    # ----------------------------------------------------- pose-graph thread
+    def _pg_worker(self):
+        """Worker loop: consume (push/new_seq) commands in order. Any
+        exception is parked and re-raised on the main thread at the next
+        join — the VIO stream itself never depends on the pose graph."""
+        while True:
+            item = self._pg_queue.get()
+            try:
+                if item is None:
+                    return
+                if self._pg_exc is None:
+                    if item[0] == "new_seq":
+                        self.pgbuilder.new_sequence()
+                    else:
+                        _, pkt, kfp, img = item
+                        self.pgbuilder.push(pkt, kfp, image=img)
+            except BaseException as e:  # noqa: BLE001 - parked for the main thread
+                self._pg_exc = e
+            finally:
+                self._pg_queue.task_done()
+
+    def _pg_join(self):
+        """Drain the pose-graph queue (no-op without pg_thread). All output
+        accessors call this so reads always see a fully-consumed stream."""
+        if self._pg_queue is not None:
+            self._pg_queue.join()
+            if self._pg_exc is not None:
+                exc, self._pg_exc = self._pg_exc, None
+                raise RuntimeError("pose-graph worker failed") from exc
 
     # -------------------------------------------------------------- processing
     def _measurements_ready(self) -> bool:
@@ -175,32 +240,40 @@ class System:
             # feed IMU up to t_img with boundary interpolation (:279–296)
             if self.current_time < 0:
                 self.current_time = t_img
-            while self.imu_buf and self.imu_buf[0][0] < t_img:
-                t, acc, gyr = self.imu_buf.popleft()
-                dt = t - self.current_time
-                if dt > 0:
-                    est.process_imu(dt, acc, gyr)
-                self.current_time = t
-                self._last_imu = (acc, gyr)
-            if self.imu_buf:
-                t2, acc2, gyr2 = self.imu_buf[0]
-                dt1 = t_img - self.current_time
-                dt2 = t2 - t_img
-                if dt1 > 0 and dt2 >= 0 and hasattr(self, "_last_imu"):
-                    w1 = dt2 / max(dt1 + dt2, 1e-9)
-                    w2 = dt1 / max(dt1 + dt2, 1e-9)
-                    acc1, gyr1 = self._last_imu
-                    acc_i = w1 * acc1 + w2 * acc2
-                    gyr_i = w1 * gyr1 + w2 * gyr2
-                    est.process_imu(dt1, acc_i, gyr_i)
-                    self.current_time = t_img
+            with perf.phase("sys.imu_feed"):
+                self._feed_imu(t_img)
 
-            info = est.process_image(feat["ids"], feat["pts"], feat["t"], vels=feat["vel"])
+            with perf.phase("est.process_image"):
+                info = est.process_image(
+                    feat["ids"], feat["pts"], feat["t"], vels=feat["vel"])
 
             if est.solver_flag == NON_LINEAR:
                 t_out, P, Q = est.latest_pose()
                 self.vio_trajectory.append((feat["t"], P, Q))
-                self._feed_pose_graph()
+                with perf.phase("sys.feed_pose_graph"):
+                    self._feed_pose_graph()
+
+    def _feed_imu(self, t_img: float):
+        est = self.estimator
+        while self.imu_buf and self.imu_buf[0][0] < t_img:
+            t, acc, gyr = self.imu_buf.popleft()
+            dt = t - self.current_time
+            if dt > 0:
+                est.process_imu(dt, acc, gyr)
+            self.current_time = t
+            self._last_imu = (acc, gyr)
+        if self.imu_buf:
+            t2, acc2, gyr2 = self.imu_buf[0]
+            dt1 = t_img - self.current_time
+            dt2 = t2 - t_img
+            if dt1 > 0 and dt2 >= 0 and hasattr(self, "_last_imu"):
+                w1 = dt2 / max(dt1 + dt2, 1e-9)
+                w2 = dt1 / max(dt1 + dt2, 1e-9)
+                acc1, gyr1 = self._last_imu
+                acc_i = w1 * acc1 + w2 * acc2
+                gyr_i = w1 * gyr1 + w2 * gyr2
+                est.process_imu(dt1, acc_i, gyr_i)
+                self.current_time = t_img
 
     def _feed_pose_graph(self):
         if self.pgbuilder is None:
@@ -214,7 +287,10 @@ class System:
                 else None
             )
             img = self._lookup_image(float(pkt.ts))
-            self.pgbuilder.push(pkt, kfp, image=img)
+            if self._pg_queue is not None:
+                self._pg_queue.put(("push", pkt, kfp, img))
+            else:
+                self.pgbuilder.push(pkt, kfp, image=img)
             self._pg_cursor += 1
 
     def _lookup_image(self, t: float):
@@ -246,6 +322,7 @@ class System:
     def loop_tum(self) -> str:
         if self.pgbuilder is None:
             return ""
+        self._pg_join()
         ts, t_opt, q_opt = self.pgbuilder.trajectory()
         lines = []
         for i in range(len(ts)):
@@ -260,6 +337,7 @@ class System:
         ellipses, pose_graph_builder.cpp:272–301, as a text artifact)."""
         if self.pgbuilder is None:
             return ""
+        self._pg_join()
         from .utils.visualization import covariance_tum
 
         ts, t_opt, cov = self.pgbuilder.covariances()

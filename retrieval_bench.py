@@ -90,7 +90,7 @@ def build_db(n_kf: int, seed: int = 4):
         img, _, _ = renderer.render(k)
         imgj = jnp.asarray(img, jnp.float32)
         resp = shi_tomasi_response(imgj)
-        cand, vals, okc = nms_topk(resp, db.D, 10, border=12)
+        cand, vals, okc = nms_topk(resp, db.D, 10, border=14)
         cand = np.array(cand)
         desc = np.asarray(brief_descriptors(imgj, jnp.asarray(cand),
                                             jnp.ones(len(cand), bool), pattern))

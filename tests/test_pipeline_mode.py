@@ -68,3 +68,44 @@ def test_pipeline_equivalent_to_sync():
         assert ta == tb
         np.testing.assert_allclose(Pa, Pb, atol=1e-9)
         np.testing.assert_allclose(Qa, Qb, atol=1e-9)
+
+
+def test_pg_thread_equivalent_to_sync():
+    """The pose-graph worker thread (System(pg_thread=True)) consumes the
+    same packet stream in the same order as the in-line builder, so after a
+    flush/join the keyframe db and trajectories must be IDENTICAL — the
+    thread changes only where the work runs (reference analogue: the
+    decoupled pose-graph process thread, pose_graph_builder.cpp). A
+    mid-stream timestamp gap exercises the queued new_sequence command."""
+    cfg, dims, world, frames = _build()
+    cfg = cfg.replace(posegraph=PoseGraphConfig(
+        enabled=True, keyframe_min_dist=0.15, skip_recent=100,
+        max_keyframes=64, max_kp_per_kf=128))
+
+    def run(pg_thread):
+        sys_ = System(cfg, dims, enable_loop=True, pg_thread=pg_thread)
+        n = len(frames)
+        for k in range(n):
+            if k > 0:
+                m = int(np.sum(world.imu_dts[k - 1] > 0))
+                acc_t = world.frame_times[k - 1]
+                for s in range(m):
+                    acc_t += world.imu_dts[k - 1][s]
+                    sys_.pub_imu(acc_t, world.imu_accs[k - 1][s],
+                                 world.imu_gyrs[k - 1][s])
+            # timestamp gap before the final frame: a new sequence must
+            # start, routed through the worker queue in packet order
+            t_img = world.frame_times[k] + (2.5 if k == n - 1 else 0.0)
+            sys_.pub_image(t_img, frames[k])
+        sys_.flush()
+        return sys_
+
+    a = run(False)
+    b = run(True)
+    assert a.pgbuilder.db.n == b.pgbuilder.db.n > 0
+    assert a.pgbuilder.sequence == b.pgbuilder.sequence == 2
+    np.testing.assert_allclose(
+        a.pgbuilder.db.vio_t[: a.pgbuilder.db.n],
+        b.pgbuilder.db.vio_t[: b.pgbuilder.db.n], atol=1e-12)
+    assert a.loop_tum() == b.loop_tum()
+    assert a.vio_tum() == b.vio_tum()
