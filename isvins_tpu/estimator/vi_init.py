@@ -256,6 +256,39 @@ def global_sfm(est, l, R_rel, T_rel):
     return True, q_wc, t_wc, np.array(state2.dep)
 
 
+def refine_gyro_bias(est) -> float:
+    """Re-estimate the gyro bias against the CURRENT window rotations
+    (post-BA) and apply the correction. Returns |dbg|.
+
+    The one-shot solve_gyroscope_bias in run_visual_inertial_init uses the
+    chained-SfM rotations, whose drift grows with the window length — at the
+    product window (B=18) the accumulated ~0.8 deg/frame PnP-chain rotation
+    drift aliases into a 0.14 rad/s bias estimate (measured on the noiseless
+    synthetic bench world), which the init BA then cannot fully undo (the
+    bias direction is stiff; 30 LM iterations recover only 20%) and the
+    marginalization prior freezes thereafter, drifting the whole run. The
+    alternation loop (estimator.solve_odometry first=True) therefore
+    re-solves the same linear problem against the window's own
+    vision-dominated rotations each round: as the BA rotations converge, so
+    does the bias (reference analogue: solveGyroscopeBias,
+    initial_aligment.cpp:3-37, run once — the reference's 10-frame-SfM
+    rotation drift is small enough for one shot; an 18-frame chain's is
+    not)."""
+    B = est.dims.B
+    pre_all = est._imu_factors()
+    valid = np.asarray(pre_all.valid)
+    if not valid.all():
+        # segment pairing (R[k], R[k+1]) <-> pres[k] breaks with holes;
+        # init windows normally have every segment valid
+        return 0.0
+    R_body = np.asarray(quat_to_mat(jnp.asarray(est.Qs)))
+    pres = [jax.tree_util.tree_map(lambda a: a[k], pre_all.pre)
+            for k in range(B - 1)]
+    dbg = solve_gyroscope_bias(R_body, pres)
+    est.Bgs[:] = est.Bgs + dbg
+    return float(np.linalg.norm(dbg))
+
+
 def realign_window(est, status: dict = None) -> bool:
     """Closed-form velocity/gravity/scale re-alignment at the CURRENT window
     states (post-BA). LM converges the stiff global scale/gravity directions

@@ -61,10 +61,21 @@ class _Accum:
 
 
 class PoseGraphBuilder:
-    def __init__(self, cfg, camera=None):
+    def __init__(self, cfg, camera=None, kf_step_on_cpu: bool = False):
+        """kf_step_on_cpu routes the fused per-keyframe program (projection
+        + BRIEF + Shi-Tomasi/NMS + undistort) to the host CPU backend. Used
+        when the builder runs on a worker thread against a REMOTE
+        accelerator: each remote call costs ~24 ms of tunnel latency and the
+        worker's calls serialize with the frame path's solve/tracker
+        dispatches on the tunnel — measured +100 ms/frame of tracker-collect
+        blocking when both threads stream through it. On CPU the program is
+        a few ms at 320x240 and the worker never touches the tunnel for
+        keyframes (loop optimization still dispatches to the accelerator —
+        rare enough to ride out)."""
         pg = cfg.posegraph
         self.cfg = cfg
         self.pg = pg
+        self.kf_step_on_cpu = bool(kf_step_on_cpu)
         self.db = KeyframeDB(pg.max_keyframes, pg.max_kp_per_kf, 256)
         # numpy, not a device array: a jit that closes over a committed
         # device constant re-uploads it per trace on the remote runtime
@@ -366,8 +377,13 @@ class PoseGraphBuilder:
                 return fbuf, fbuf2, wd, kd
 
             self._kf_prog = prog
-        raw = self._kf_prog(jnp.asarray(image), jnp.asarray(norm),
-                            jnp.asarray(normv))
+        import contextlib
+        ctx = (jax.default_device(jax.devices("cpu")[0])
+               if self.kf_step_on_cpu and jax.default_backend() != "cpu"
+               else contextlib.nullcontext())
+        with ctx:
+            raw = self._kf_prog(jnp.asarray(image), jnp.asarray(norm),
+                                jnp.asarray(normv))
         for r in raw:
             if hasattr(r, "copy_to_host_async"):
                 r.copy_to_host_async()
@@ -549,7 +565,13 @@ class PoseGraphBuilder:
         if n_in <= 6:
             return False
         res = max(res, n_in * 0.25 / (460.0 * 460.0))
-        loop_weight = (n_in - 6) / (res * res)
+        # cap: a near-exact synthetic fit otherwise claims ~5e9 (sub-0.1mm
+        # certainty), 4-5 orders stiffer than the sequential-edge info — the
+        # f32 pose-graph Cholesky on the accelerator loses the system to
+        # round-off (NaN poses observed on the 752x480 realism run). 1e8
+        # (~1e4/axis sqrt-info, the reference's own typical loop scale,
+        # keyframe.cpp:211-227) is already far stiffer than any VIO edge.
+        loop_weight = min((n_in - 6) / (res * res), 1e8)
 
         # relative pose cur-in-old + gates (keyframe.cpp:276–282)
         rel_t = R_old.T @ (db.vio_t[cur] - T_old)

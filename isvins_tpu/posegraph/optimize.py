@@ -186,6 +186,18 @@ class PendingOptimize:
         t2 = np.array(self._t2)[:n]
         q2 = np.array(self._q2)[:n]
         cov = np.array(self._cov)[:n]
+        if not (np.isfinite(t2).all() and np.isfinite(q2).all()):
+            # a diverged solve must never poison the keyframe db (ceres
+            # reports failure and the reference keeps streaming); keep the
+            # previous optimized poses and drift
+            import logging
+            logging.getLogger(__name__).warning(
+                "pose-graph optimization returned non-finite poses; "
+                "discarding this solve (segment %d..%d)", first_idx, cur_idx)
+            from ..geom.hostmath import quat_to_mat_np as _q2m
+            r_keep = _q2m(db.opt_q[cur_idx]) @ _q2m(db.vio_q[cur_idx]).T
+            t_keep = db.opt_t[cur_idx] - r_keep @ db.vio_t[cur_idx]
+            return r_keep, t_keep, float("nan")
         sl = slice(first_idx, cur_idx + 1)
 
         # retro-update sequential edge measurements to the optimized poses

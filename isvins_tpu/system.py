@@ -35,7 +35,8 @@ from .utils import perf
 class System:
     def __init__(self, cfg: EngineConfig, dims: Optional[WindowDims] = None,
                  enable_loop: bool = True, pipeline: bool = False,
-                 pg_thread: bool = False):
+                 pg_thread: bool = False, solve_async: bool = False,
+                 pg_kf_on_cpu: Optional[bool] = None):
         """pipeline=True enables dispatch-level pipelining: pub_image
         dispatches the tracker's fused device step asynchronously and runs
         the PREVIOUS frame's estimator update while it computes, hiding the
@@ -59,9 +60,18 @@ class System:
         self.pipeline = pipeline
         self._pending_pub = None  # (t, pub_this) of the in-flight tracker frame
         self.tracker = FeatureTracker(cfg.camera, cfg.tracker)
-        self.estimator = Estimator(cfg, dims)
+        self.estimator = Estimator(cfg, dims, solve_async=solve_async)
+        if pg_kf_on_cpu is None:
+            # default: the worker's keyframe program leaves the accelerator
+            # only at SMALL resolutions — there the CPU program is a few ms
+            # and staying off the (remote) accelerator avoids serializing
+            # with the frame path's dispatches; at full resolution the CPU
+            # Shi-Tomasi/BRIEF costs ~100 ms and starves the host instead
+            pg_kf_on_cpu = pg_thread and (cfg.camera.width * cfg.camera.height
+                                          <= 400 * 300)
         self.pgbuilder = (
-            PoseGraphBuilder(cfg, camera=make_camera(cfg.camera))
+            PoseGraphBuilder(cfg, camera=make_camera(cfg.camera),
+                             kf_step_on_cpu=pg_kf_on_cpu)
             if (enable_loop and cfg.posegraph.enabled)
             else None
         )
@@ -189,6 +199,12 @@ class System:
         mode's analogue of joining the reference's threads)."""
         self._collect_pending()
         self._process()
+        # the last frame's solve and/or marginalization may still be in
+        # their async slots: collect both so the trajectory is complete and
+        # the final pose-graph packet reaches the builder
+        self.estimator.collect_solve()
+        self.estimator.collect_marg()
+        self._drain_outputs()
         self._pg_join()
         if self.pgbuilder is not None:
             self.pgbuilder.flush_optimize()
@@ -237,6 +253,13 @@ class System:
             t_img = feat["t"] + self.cfg.solver.td
             est = self.estimator
 
+            # install the previous frame's pipelined solve BEFORE the IMU
+            # feed: process_imu propagates the newest state as the incoming
+            # frame's initial guess, and the slide must have freed the
+            # newest IMU segment slot (solve_async mode; no-op otherwise)
+            est.collect_solve()
+            self._drain_outputs()
+
             # feed IMU up to t_img with boundary interpolation (:279–296)
             if self.current_time < 0:
                 self.current_time = t_img
@@ -246,12 +269,19 @@ class System:
             with perf.phase("est.process_image"):
                 info = est.process_image(
                     feat["ids"], feat["pts"], feat["t"], vels=feat["vel"])
+            self._drain_outputs()
 
-            if est.solver_flag == NON_LINEAR:
-                t_out, P, Q = est.latest_pose()
-                self.vio_trajectory.append((feat["t"], P, Q))
-                with perf.phase("sys.feed_pose_graph"):
-                    self._feed_pose_graph()
+    def _drain_outputs(self):
+        """Move finished poses from the estimator to the trajectory and feed
+        the pose graph (covers both the synchronous and pipelined solve
+        paths — poses appear in ready_poses when their state is installed)."""
+        est = self.estimator
+        if est.ready_poses:
+            self.vio_trajectory.extend(est.ready_poses)
+            est.ready_poses.clear()
+        if est.solver_flag == NON_LINEAR:
+            with perf.phase("sys.feed_pose_graph"):
+                self._feed_pose_graph()
 
     def _feed_imu(self, t_img: float):
         est = self.estimator

@@ -61,6 +61,10 @@ def load_pose_graph(path: str, capacity: int = 0):
 
 # ------------------------------------------------------------- estimator
 def save_estimator(est, path: str):
+    # quiesce: collect any in-flight async marginalization so the snapshot
+    # holds the post-slide priors (a pending future is not serializable and
+    # dropping it silently would fork the resumed trajectory)
+    est.collect_marg()
     pr = est.priors
     prior_arrays = {}
     if pr is not None:

@@ -30,8 +30,16 @@ class PackedFn:
     floating point.
     """
 
-    def __init__(self, fn, example_args, float_dtype=jnp.float32):
+    def __init__(self, fn, example_args, float_dtype=jnp.float32,
+                 single_buffer: bool = False):
+        """single_buffer=True ships int and bool leaves INSIDE the float
+        buffer (1 upload RPC instead of 3 — each host->device transfer on a
+        remote runtime is ~5-8 ms of pure latency). Only valid when every
+        integer leaf's values fit exactly in the float payload (|v| < 2^24
+        for float32) — true for all index arrays in this engine (window/
+        landmark/observation indices < 4096)."""
         self._float_dtype = float_dtype
+        self._single = bool(single_buffer)
         flat, self._in_tree = jax.tree_util.tree_flatten(example_args)
         self._specs = []  # (kind, shape, size)
         sizes = {"f": 0, "i": 0, "b": 0}
@@ -52,51 +60,108 @@ class PackedFn:
         self._out_specs = [(o.shape, int(np.prod(o.shape, dtype=np.int64)))
                            for o in oflat]
 
-        def packed(fbuf, ibuf, bbuf):
+        single = self._single
+
+        def unpack_args(fbuf, ibuf, bbuf):
             leaves = []
             of = oi = ob = 0
             for kind, shape, size in self._specs:
-                if kind == "f":
-                    leaves.append(fbuf[of:of + size].reshape(shape))
+                if single or kind == "f":
+                    leaf = fbuf[of:of + size].reshape(shape)
                     of += size
+                    if kind == "i":
+                        leaf = leaf.astype(jnp.int32)
+                    elif kind == "b":
+                        leaf = leaf > 0.5
                 elif kind == "i":
-                    leaves.append(ibuf[oi:oi + size].reshape(shape))
+                    leaf = ibuf[oi:oi + size].reshape(shape)
                     oi += size
                 else:
-                    leaves.append(bbuf[ob:ob + size].reshape(shape))
+                    leaf = bbuf[ob:ob + size].reshape(shape)
                     ob += size
-            args = jax.tree_util.tree_unflatten(self._in_tree, leaves)
-            out = fn(*args)
+                leaves.append(leaf)
+            return jax.tree_util.tree_unflatten(self._in_tree, leaves)
+
+        def packed(fbuf, ibuf, bbuf):
+            out = fn(*unpack_args(fbuf, ibuf, bbuf))
             oleaves = jax.tree_util.tree_leaves(out)
             return jnp.concatenate([o.reshape(-1) for o in oleaves])
 
-        self._jfn = jax.jit(packed)
+        if single:
+            # one operand -> one upload RPC (empty side buffers would still
+            # each cost a transfer round trip on the remote runtime)
+            self._jfn = jax.jit(lambda fbuf: packed(fbuf, None, None))
+        else:
+            self._jfn = jax.jit(packed)
 
-    def __call__(self, *args):
+    def pack(self, args):
+        """Host-side packing: args pytree -> (fbuf, ibuf, bbuf) numpy
+        buffers (ibuf/bbuf empty in single-buffer mode)."""
         flat = jax.tree_util.tree_leaves(args)
+        fdt = np.dtype(self._float_dtype)
         fs, is_, bs = [], [], []
         for a, (kind, _, _) in zip(flat, self._specs):
             a = np.asarray(a)
-            if kind == "f":
-                fs.append(a.ravel())
+            if self._single or kind == "f":
+                fs.append(a.ravel().astype(fdt))
             elif kind == "i":
                 is_.append(a.ravel().astype(np.int32))
             else:
                 bs.append(a.ravel())
-        fdt = np.dtype(self._float_dtype)
-        fbuf = (np.concatenate(fs).astype(fdt) if fs
-                else np.zeros(0, fdt))
+        fbuf = np.concatenate(fs) if fs else np.zeros(0, fdt)
         ibuf = np.concatenate(is_) if is_ else np.zeros(0, np.int32)
         bbuf = np.concatenate(bs) if bs else np.zeros(0, bool)
-        # NOTE: issuing copy_to_host_async here before blocking measured
-        # SLOWER on the remote runtime (+26 ms/frame: the early copy request
-        # adds its own round trip when there is no host work to overlap it
-        # with); the tracker's dispatch/collect split is where the async copy
-        # pays off
-        out = np.asarray(self._jfn(fbuf, ibuf, bbuf), dtype=np.float64)
+        return fbuf, ibuf, bbuf
+
+    def dispatch(self, *args):
+        """Enqueue the packed call WITHOUT blocking on the result; returns a
+        PackedPending whose collect() pulls and unpacks. The device->host
+        copy is started immediately so it queues behind the program's
+        compute — by collect time (typically the next frame) the payload is
+        already host-side and only the final sync round trip remains. This
+        is the estimator-side analogue of the tracker's dispatch/collect
+        split (cross-frame solve pipelining)."""
+        fbuf, ibuf, bbuf = self.pack(args)
+        out = self._jfn(fbuf) if self._single else self._jfn(fbuf, ibuf, bbuf)
+        if hasattr(out, "copy_to_host_async"):
+            out.copy_to_host_async()
+        return PackedPending(self, out)
+
+    def batched(self, mesh, axis: str = "seq"):
+        """Sequence-data-parallel variant (single-buffer mode only): a
+        callable on stacked (N, L) float buffers that vmaps the packed
+        program over the leading axis and shards it across `mesh` — N
+        independent sliding-window solves, one per device, one collective-
+        free program (BASELINE sequence-parallel configs)."""
+        assert self._single, "batched() requires single_buffer packing"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(axis))
+        inner = self._jfn.__wrapped__  # the unjitted packed closure
+        return jax.jit(jax.vmap(inner), in_shardings=(sh,),
+                       out_shardings=sh)
+
+    def _unpack(self, out_flat):
         res = []
         off = 0
         for shape, size in self._out_specs:
-            res.append(out[off:off + size].reshape(shape))
+            res.append(out_flat[off:off + size].reshape(shape))
             off += size
         return jax.tree_util.tree_unflatten(self._out_tree, res)
+
+    def __call__(self, *args):
+        # NOTE (blocking path): issuing copy_to_host_async before blocking
+        # measured SLOWER on the remote runtime when there is no host work
+        # to overlap it with; dispatch()/collect() is the overlapped path
+        return self.dispatch(*args).collect()
+
+
+class PackedPending:
+    """An in-flight packed call (device value + unpacker)."""
+
+    def __init__(self, pfn: PackedFn, out):
+        self._pfn = pfn
+        self._out = out
+
+    def collect(self):
+        return self._pfn._unpack(np.asarray(self._out, dtype=np.float64))

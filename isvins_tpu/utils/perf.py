@@ -17,7 +17,7 @@ import time
 from collections import defaultdict
 
 _ENABLED = False
-_STATS = defaultdict(lambda: [0, 0.0, 0.0])  # name -> [count, total_s, max_s]
+_SAMPLES = defaultdict(list)  # name -> [dt_s, ...] (frame-path counts; tiny)
 
 
 def enable(on: bool = True):
@@ -26,7 +26,7 @@ def enable(on: bool = True):
 
 
 def reset():
-    _STATS.clear()
+    _SAMPLES.clear()
 
 
 @contextlib.contextmanager
@@ -38,32 +38,30 @@ def phase(name: str):
     try:
         yield
     finally:
-        dt = time.perf_counter() - t0
-        s = _STATS[name]
-        s[0] += 1
-        s[1] += dt
-        s[2] = max(s[2], dt)
+        _SAMPLES[name].append(time.perf_counter() - t0)
 
 
 def add(name: str, dt: float):
     """Record an externally-timed interval."""
-    if not _ENABLED:
-        return
-    s = _STATS[name]
-    s[0] += 1
-    s[1] += dt
-    s[2] = max(s[2], dt)
+    if _ENABLED:
+        _SAMPLES[name].append(dt)
 
 
 def stats() -> dict:
-    """{name: {count, total_ms, mean_ms, max_ms}} snapshot."""
+    """{name: {count, total_ms, mean_ms, median_ms, max_ms}} snapshot.
+    The median is the steady-state cost (immune to the one-off compile
+    spikes that dominate mean/max on a fresh process)."""
+    import numpy as np
+
     out = {}
-    for name, (cnt, tot, mx) in _STATS.items():
+    for name, xs in _SAMPLES.items():
+        a = np.asarray(xs)
         out[name] = {
-            "count": cnt,
-            "total_ms": round(tot * 1e3, 2),
-            "mean_ms": round(tot / max(cnt, 1) * 1e3, 3),
-            "max_ms": round(mx * 1e3, 2),
+            "count": int(a.size),
+            "total_ms": round(float(a.sum()) * 1e3, 2),
+            "mean_ms": round(float(a.mean()) * 1e3, 3),
+            "median_ms": round(float(np.median(a)) * 1e3, 3),
+            "max_ms": round(float(a.max()) * 1e3, 2),
         }
     return out
 
@@ -82,6 +80,7 @@ def report(n_frames: int = 0) -> str:
         )
         lines.append(
             f"{name:<28} n={s['count']:<5} total={s['total_ms']:9.1f} ms "
-            f"mean={s['mean_ms']:8.3f} ms max={s['max_ms']:8.1f} ms{per_frame}"
+            f"med={s['median_ms']:8.3f} ms mean={s['mean_ms']:8.3f} ms "
+            f"max={s['max_ms']:8.1f} ms{per_frame}"
         )
     return "\n".join(lines)

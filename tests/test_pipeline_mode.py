@@ -70,6 +70,33 @@ def test_pipeline_equivalent_to_sync():
         np.testing.assert_allclose(Qa, Qb, atol=1e-9)
 
 
+def test_solve_async_equivalent_to_sync():
+    """Cross-frame solve pipelining (System(solve_async=True)) must be
+    VALUE-identical to the synchronous estimator: the same packed program
+    runs on the same inputs in the same order — only the collect point moves
+    to the next frame (the install still lands before that frame's IMU
+    feed, so propagation seeds and the slide see identical state)."""
+    cfg, dims, world, frames = _build()
+    a = _run(cfg, dims, world, frames, pipeline=False)
+    b = System(cfg, dims, enable_loop=False, solve_async=True)
+    n = len(frames)
+    for k in range(n):
+        if k > 0:
+            m = int(np.sum(world.imu_dts[k - 1] > 0))
+            acc_t = world.frame_times[k - 1]
+            for s in range(m):
+                acc_t += world.imu_dts[k - 1][s]
+                b.pub_imu(acc_t, world.imu_accs[k - 1][s],
+                          world.imu_gyrs[k - 1][s])
+        b.pub_image(world.frame_times[k], frames[k])
+    b.flush()
+    assert len(a.vio_trajectory) == len(b.vio_trajectory) > 0
+    for (ta, Pa, Qa), (tb, Pb, Qb) in zip(a.vio_trajectory, b.vio_trajectory):
+        assert ta == tb
+        np.testing.assert_allclose(Pa, Pb, atol=1e-9)
+        np.testing.assert_allclose(Qa, Qb, atol=1e-9)
+
+
 def test_pg_thread_equivalent_to_sync():
     """The pose-graph worker thread (System(pg_thread=True)) consumes the
     same packet stream in the same order as the in-line builder, so after a

@@ -113,8 +113,15 @@ def test_system_loop_closure_reduces_drift():
     qic = np.asarray(mat_to_quat(jnp.asarray(np.array(R_bc))))
     renderer = RoomRenderer(world, cam, np.zeros(3), qic, seed=5)
 
-    sys_ = System(cfg, dims, enable_loop=True)
+    # production threading config: tracker dispatch pipelining + the
+    # pose-graph worker thread (the latency bound below is only meaningful
+    # with keyframe work off the frame path, as the reference runs it)
+    sys_ = System(cfg, dims, enable_loop=True, pipeline=True, pg_thread=True)
+    import time as _time
+
+    frame_dts = []
     for k in range(n_frames):
+        t0 = _time.perf_counter()
         if k > 0:
             n = int(np.sum(world.imu_dts[k - 1] > 0))
             acc_t = world.frame_times[k - 1]
@@ -123,21 +130,39 @@ def test_system_loop_closure_reduces_drift():
                 sys_.pub_imu(acc_t, world.imu_accs[k - 1][s], world.imu_gyrs[k - 1][s])
         img, _, _ = renderer.render(k)
         sys_.pub_image(world.frame_times[k], img)
+        if sys_.estimator.solver_flag == 2:
+            frame_dts.append(_time.perf_counter() - t0)
 
     assert len(sys_.vio_trajectory) >= 50
     db = sys_.pgbuilder.db
     assert db.n >= 20, f"only {db.n} keyframes"
+    sys_.flush()
     assert sys_.pgbuilder.n_loops >= 1, "no loop closure fired on revisit"
     # the default config runs the loop optimization asynchronously (the
     # reference's decoupled optimizeCS thread): at least one solve must have
     # been dispatched and collected off the streaming path
-    sys_.flush()
     assert sys_.pgbuilder.n_async_collects >= 1
     assert sys_.pgbuilder._pending_opt is None
 
+    # per-frame latency bound with loops enabled (VERDICT r03/r04 ask): in
+    # steady state, after the one-off compile variants of the first steady
+    # frames, no frame may stall on keyframe/retrieval/optimize work — the
+    # worker threads own it. Relative bounds so the assertion holds on any
+    # host; the absolute regression this guards against is the multi-second
+    # synchronous optimize/compile stall of the pre-thread design.
+    tail = np.array(frame_dts[len(frame_dts) // 2:])
+    assert len(tail) >= 20
+    med = float(np.median(tail))
+    p90 = float(np.percentile(tail, 90))
+    assert p90 <= 3.0 * med, (med, p90)
+    assert float(tail.max()) <= 8.0 * med, (med, float(tail.max()))
+
     # optimized keyframe trajectory must beat raw VIO keyframe trajectory
+    # QUANTITATIVELY (VERDICT r04 #9): at least halve the keyframe ATE on
+    # the revisit world and land under an absolute ceiling
     ts, t_opt, q_opt = sys_.pgbuilder.trajectory()
     t_vio = db.vio_t[: db.n]
     rmse_vio = ate_rmse(ts, t_vio, world.frame_times, world.P, align="se3")
     rmse_opt = ate_rmse(ts, t_opt, world.frame_times, world.P, align="se3")
-    assert rmse_opt < rmse_vio, (rmse_vio, rmse_opt)
+    assert rmse_opt <= 0.5 * rmse_vio, (rmse_vio, rmse_opt)
+    assert rmse_opt < 2.0, rmse_opt
