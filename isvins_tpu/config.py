@@ -71,6 +71,10 @@ class TrackerConfig:
     border: int = 1  # inBorder margin (border size BORDER_SIZE=1)
     flow_back: bool = True  # forward-backward LK consistency gate (VINS-Fusion FLOW_BACK)
     flow_back_thresh: float = 0.5  # round-trip pixel tolerance
+    # epipolar RANSAC placement: None = fused into the device step on
+    # accelerator backends (SVD-free eigh 8-point; zero host cost, rides the
+    # existing dispatch), host CPU path otherwise. True/False forces.
+    fused_ransac: bool | None = None
 
 
 @dataclass(frozen=True)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .camera import make_camera
 from .image_ops import clahe, min_dist_mask, nms_topk, shi_tomasi_response
 from .lk import pyramidal_lk
-from ..initial.five_point import _ransac_core
+from ..initial.five_point import _ransac_core, epipolar_inliers
 
 
 class FeatureTracker:
@@ -62,6 +62,17 @@ class FeatureTracker:
         self._ransac_seed = 0
         self._pending = None
 
+        # epipolar RANSAC placement (TrackerConfig.fused_ransac): fused into
+        # the device step on accelerators — the host path's 128x f64 8-point
+        # cost ~10-20 ms/frame of the measured budget; the SVD-free eigh
+        # variant rides the existing fused dispatch for free
+        self.fused_ransac = (
+            tracker_cfg.fused_ransac
+            if tracker_cfg.fused_ransac is not None
+            else jax.default_backend() not in ("cpu",)
+        )
+        self._n_ransac_hyp = 128
+
         self._step = jax.jit(self._step_impl, static_argnames=("first",))
 
     def reset(self):
@@ -78,10 +89,13 @@ class FeatureTracker:
         self._pending = None
 
     # ------------------------------------------------------------ fused step
-    def _step_impl(self, prev_img, img, pts, valid, first: bool):
+    def _step_impl(self, prev_img, img, pts, valid, prev_un2, age_ok,
+                   samples, first: bool):
         """The whole per-frame device pipeline as one program. Returns
         (imgf, packed (M,11) f32); fixed capacity M. `img` may arrive uint8
-        (native camera dtype; 4x less upload bandwidth) — converted here."""
+        (native camera dtype; 4x less upload bandwidth) — converted here.
+        prev_un2 (M,2) / age_ok (M,) / samples (S,8) feed the fused epipolar
+        RANSAC (ignored when fused_ransac is off or on the first frame)."""
         img = img.astype(jnp.float32)
         imgf = clahe(img) if self.cfg.equalize else img
 
@@ -118,6 +132,22 @@ class FeatureTracker:
                 ok = ok & okb & (rt < self.cfg.flow_back_thresh)
 
         un1 = self.cam32.lift_projective(pts1)
+
+        if (not first) and self.fused_ransac:
+            # fused epipolar rejection (rejectWithF semantics): candidate
+            # rows sampled on the host PRE-LK (a superset; hypotheses that
+            # drew an LK casualty produce huge residuals and lose the
+            # argmax). Degeneracy guard as in the host path: a winner that
+            # explains < half the candidates (near-planar view) is ignored.
+            m = ok & age_ok
+            thresh = float(self.cfg.f_threshold) / float(self.cam.focal)
+            inl, n_inl = epipolar_inliers(
+                prev_un2.astype(jnp.float32), un1[:, :2], m, samples,
+                thresh * thresh,
+            )
+            n_m = jnp.sum(m)
+            trust = (n_m >= 15) & (n_inl >= 0.5 * n_m)
+            ok = jnp.where(trust, ok & (inl | ~m), ok)
 
         # detection candidates for the refill. The forbid mask uses the
         # post-LK (pre-RANSAC, pre-dedup) point set — a superset of the
@@ -163,9 +193,26 @@ class FeatureTracker:
         imgj = jnp.asarray(img)
         first = self.prev_img is None
         prev = imgj.astype(jnp.float32) if first else self.prev_img
+        # fused-RANSAC side inputs (host-sampled hypothesis rows from the
+        # PRE-LK track set; see _step_impl)
+        S = self._n_ransac_hyp
+        samples = np.zeros((S, 8), np.int32)
+        age_ok = np.zeros(self.M, bool)
+        if self.fused_ransac and not first:
+            rows = np.where(self.valid & (self.track_cnt >= 1))[0]
+            if len(rows) >= 15:
+                rng = np.random.default_rng(self._ransac_seed)
+                self._ransac_seed += 1
+                samples = np.stack(
+                    [rng.choice(rows, size=8, replace=False)
+                     for _ in range(S)]
+                ).astype(np.int32)
+                age_ok[rows] = True
         imgf, packed = self._step(
             prev, imgj, jnp.asarray(self.pts, jnp.float32),
-            jnp.asarray(self.valid), first=first,
+            jnp.asarray(self.valid),
+            jnp.asarray(self.prev_un[:, :2], jnp.float32),
+            jnp.asarray(age_ok), jnp.asarray(samples), first=first,
         )
         self.prev_img = imgf  # lazy device value; ready by next dispatch
         # start the device->host copy NOW (it enqueues behind the step's
@@ -199,8 +246,10 @@ class FeatureTracker:
             self.pts = pts1.copy()
             self.valid = ok
             self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
-            # epipolar outlier rejection (rejectWithF); CPU backend, static M
-            self._reject_with_f(un1)
+            if not self.fused_ransac:
+                # epipolar outlier rejection (rejectWithF); CPU backend,
+                # static M (the fused path already applied it on device)
+                self._reject_with_f(un1)
 
         # min-distance dedup, longest tracks win (setMask)
         self._dedup_min_dist()

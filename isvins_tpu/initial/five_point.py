@@ -35,6 +35,51 @@ def _eight_point(p1, p2):
     return E
 
 
+def epipolar_inliers(p1, p2, valid, samples, thresh_sq):
+    """Epipolar inlier classification for the tracker's outlier rejection,
+    SVD-FREE so it lowers on TPU in f32 (the f32 SVD 8-point variant trips
+    an XLA:TPU TransposeFolding crash, probed round 3; the eigh-of-Gram
+    nullspace avoids it). Hypotheses from `samples` (S,8) row indices into
+    p1/p2; each 8-point solve is the smallest eigenvector of A^T A (9x9
+    symmetric eigh, batched). The rank-2 essential projection is SKIPPED —
+    for inlier CLASSIFICATION the nullspace E's Sampson distances separate
+    at the same threshold (the projection moves E by O(sigma), far below
+    the decision boundary), and it would need the 3x3 SVD we are avoiding.
+    Invalid rows drawn into a hypothesis poison only that hypothesis (huge
+    residuals -> low score -> loses the argmax).
+
+    Returns (inlier_mask (n,), n_inliers) — mask is False outside `valid`.
+    """
+    def solve_null(pa, pb):
+        x1, y1 = pa[:, 0], pa[:, 1]
+        x2, y2 = pb[:, 0], pb[:, 1]
+        one = jnp.ones_like(x1)
+        A = jnp.stack(
+            [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
+        )
+        G = A.T @ A
+        _, V = jnp.linalg.eigh(G)
+        return V[:, 0].reshape(3, 3)
+
+    Es = jax.vmap(lambda idx: solve_null(p1[idx], p2[idx]))(samples)
+    d = jax.vmap(lambda E: _sampson_sq(E, p1, p2))(Es)  # (S,n)
+    inl = (d < thresh_sq) & valid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    # refit on the best hypothesis' inliers (weighted 8-point, eigh again)
+    w = inl[best].astype(p1.dtype)
+    n = p1.shape[0]
+    x1 = jnp.concatenate([p1, jnp.ones((n, 1), p1.dtype)], axis=1)
+    x2 = jnp.concatenate([p2, jnp.ones((n, 1), p1.dtype)], axis=1)
+    A = jnp.einsum("ni,nj->nij", x2, x1).reshape(n, 9) * w[:, None]
+    G = A.T @ A
+    _, V = jnp.linalg.eigh(G)
+    E = V[:, 0].reshape(3, 3)
+    d2 = _sampson_sq(E, p1, p2)
+    inl2 = (d2 < thresh_sq) & valid
+    return inl2, jnp.sum(inl2)
+
+
 def _sampson_sq(E, p1, p2):
     """Squared Sampson distance for all correspondences. p* (n,2)."""
     n = p1.shape[0]

@@ -106,6 +106,57 @@ class PoseGraphBuilder:
         self._db_seq_cnt = 1  # sequence of the last added keyframe
         self.n_sequence_aligns = 0
 
+    def prewarm(self):
+        """Compile the builder's device programs before streaming (run on
+        the worker thread at startup): the fused keyframe program, the
+        descriptor matcher, and the FIRST pose-graph-optimize capacity rung
+        (K=64/L=64). On a cold compile cache these otherwise land
+        mid-stream — the optimize core alone is a multi-second compile that
+        used to appear as a 2-4.8 s frame-time spike the first time a loop
+        closed."""
+        import contextlib
+        cc = self.cfg.camera
+        try:
+            img = np.zeros((cc.height, cc.width), np.float32)
+            self._kf_device_step(img, np.zeros((self.db.P, 2)),
+                                 np.zeros(self.db.P, bool))
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            logging.getLogger(__name__).exception("kf-program prewarm failed")
+        ctx = (contextlib.nullcontext() if jax.default_backend() == "cpu"
+               else jax.default_device(jax.devices("cpu")[0]))
+        try:
+            with ctx:
+                match_descriptors_clean(
+                    jnp.zeros((self.db.P, 8), jnp.uint32),
+                    jnp.zeros(self.db.P, bool),
+                    jnp.zeros((self.db.D, 8), jnp.uint32),
+                    jnp.zeros(self.db.D, bool),
+                    ham_thresh=self.pg.hamming_thresh,
+                )
+        except Exception:  # pragma: no cover
+            logging.getLogger(__name__).exception("matcher prewarm failed")
+        try:
+            from .optimize import _optimize_core
+
+            K = L = 64
+            sdtype = (np.float64 if jax.default_backend() == "cpu"
+                      else np.float32)
+            q0 = np.tile(np.array([1.0, 0, 0, 0], sdtype), (K, 1))
+            _optimize_core(
+                jnp.zeros((K, 3), sdtype), jnp.asarray(q0),
+                jnp.zeros(K, bool),
+                jnp.zeros((K, 3), sdtype), jnp.asarray(q0),
+                jnp.zeros((K, 6, 6), sdtype), jnp.zeros(K, bool),
+                jnp.asarray(q0), jnp.zeros((K, 2, 2), sdtype),
+                jnp.zeros(K, bool),
+                jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
+                jnp.zeros((L, 3), sdtype), jnp.asarray(q0[:L]),
+                jnp.zeros(L, sdtype), jnp.zeros(L, bool),
+                jnp.zeros(K, bool), K=K, L=L, iters=10,
+            )
+        except Exception:  # pragma: no cover
+            logging.getLogger(__name__).exception("optimize prewarm failed")
+
     def new_sequence(self):
         """Stream discontinuity: start a new pose-graph sequence
         (pose_graph_builder.cpp:3–19). The partially accumulated edge is
@@ -566,12 +617,14 @@ class PoseGraphBuilder:
             return False
         res = max(res, n_in * 0.25 / (460.0 * 460.0))
         # cap: a near-exact synthetic fit otherwise claims ~5e9 (sub-0.1mm
-        # certainty), 4-5 orders stiffer than the sequential-edge info — the
-        # f32 pose-graph Cholesky on the accelerator loses the system to
-        # round-off (NaN poses observed on the 752x480 realism run). 1e8
-        # (~1e4/axis sqrt-info, the reference's own typical loop scale,
-        # keyframe.cpp:211-227) is already far stiffer than any VIO edge.
-        loop_weight = min((n_in - 6) / (res * res), 1e8)
+        # certainty) — the f32 pose-graph solve on the accelerator went
+        # non-finite at that scale on the 752x480 realism run. 1e9 stays
+        # under the observed failure regime while keeping the loop edges
+        # stiff enough to snap a drifted chain (a 1e8 cap measurably
+        # weakened the drift correction: rmse_opt/rmse_vio 0.63 vs 0.50 on
+        # the revisit world); PendingOptimize.finalize additionally rejects
+        # any non-finite solve outright.
+        loop_weight = min((n_in - 6) / (res * res), 1e9)
 
         # relative pose cur-in-old + gates (keyframe.cpp:276–282)
         rel_t = R_old.T @ (db.vio_t[cur] - T_old)

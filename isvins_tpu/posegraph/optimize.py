@@ -155,10 +155,17 @@ def _optimize_core(
 
 
 def _next_pow2(n):
-    k = 8
-    while k < n:
-        k *= 2
-    return k
+    # coarse capacity ladder, NOT per-pow2: every distinct (K, L) bucket is
+    # a fresh multi-second XLA compile of the dense GN core, and a growing
+    # pose graph used to walk 6+ buckets mid-stream (the 2-4 s frame-time
+    # spikes of rounds 3-4 were exactly these compiles landing on the
+    # streaming path). Two rungs cover a whole EuRoC-scale run and both are
+    # prewarmable at startup; the masked padding costs only device FLOPs on
+    # the (async) optimize path.
+    for k in (64, 256, 1024, 4096):
+        if n <= k:
+            return k
+    return 4096
 
 
 class PendingOptimize:

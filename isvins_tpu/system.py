@@ -86,6 +86,10 @@ class System:
             self._pg_worker_thread = threading.Thread(
                 target=self._pg_worker, daemon=True, name="posegraph")
             self._pg_worker_thread.start()
+            # compile the worker's programs while the stream ramps (ordered
+            # ahead of any keyframe; a cold compile landing mid-stream was
+            # the 2-4.8 s frame-time spike at the first loop closure)
+            self._pg_queue.put(("prewarm",))
 
         self.imu_buf: deque = deque()
         self.feature_buf: deque = deque()
@@ -222,6 +226,8 @@ class System:
                 if self._pg_exc is None:
                     if item[0] == "new_seq":
                         self.pgbuilder.new_sequence()
+                    elif item[0] == "prewarm":
+                        self.pgbuilder.prewarm()
                     else:
                         _, pkt, kfp, img = item
                         self.pgbuilder.push(pkt, kfp, image=img)

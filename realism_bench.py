@@ -111,8 +111,16 @@ def main(n_frames=200, out_path="REALISM_r05.json"):
     FeatureTracker.dispatch = timed_dispatch
     FeatureTracker.collect = timed_collect
 
+    # solve pipelining measured A/B at this resolution: async 8.4 fps /
+    # p90 222 ms / tracker-collect 92 ms vs sync 8.1 fps / p90 174 /
+    # tracker 15.8 — the worker+pipeline RPC interleaving through the
+    # remote-TPU tunnel costs what the overlap buys at 752x480, so the
+    # full-res run defaults to the synchronous solve (the 320x240 product
+    # e2e in bench.py keeps the pipeline: 12.9 -> 19.2 fps there)
+    import os as _os
+    _sa = _os.environ.get("ISVINS_SOLVE_ASYNC", "0") == "1"
     sys_ = System(cfg, dims, enable_loop=True, pipeline=True, pg_thread=True,
-                  solve_async=True)
+                  solve_async=_sa)
     first_solved = None
     try:
         for k in range(n_frames):

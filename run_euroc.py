@@ -35,7 +35,13 @@ def main(argv=None, cfg=None, dims=None):
     from isvins_tpu.utils.evaluation import ate_rmse
 
     cfg = cfg or euroc_config()
-    sys_ = System(cfg, dims, enable_loop=not args.no_loop, pipeline=True)
+    # production threading topology (see System docstring): tracker
+    # dispatch pipeline + pose-graph worker thread; the cross-frame solve
+    # pipeline stays off at EuRoC's full 752x480 resolution (A/B'd in
+    # realism_bench.py: the extra tunnel interleaving costs what the
+    # overlap buys there)
+    sys_ = System(cfg, dims, enable_loop=not args.no_loop, pipeline=True,
+                  pg_thread=True)
     ds = EurocDataset(args.mav0)
 
     t0 = time.time()

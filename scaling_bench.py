@@ -1,5 +1,5 @@
 """Multi-device scaling measurement for the distributed pose-graph solve and
-the data-parallel window solver. Writes SCALING_r04.json.
+the data-parallel window solver. Writes SCALING_r05.json.
 
 Round-4 structure (the round-3 artifact projected around a replicated dense
 Cholesky and failed its own target; the domain-decomposition solver removes
@@ -111,25 +111,39 @@ def bench_posegraph_dd(K=1024, iters=3):
         make_mesh(1), *args, iters=iters, with_cov=True), n=2)
     print(f"# posegraph K={K} dense 1-dev: {t1*1e3:.0f} ms", file=sys.stderr)
     rows = {"1": {"ms": round(t1 * 1e3, 1), "solver": "dense"}}
+    t_dd = {}
     for nd in (2, 4, 8):
         if nd > len(jax.devices()):
             break
         tn = _time(lambda: dd_pose_graph_solve(
             make_mesh(nd), *args, iters=iters, with_cov=True), n=2)
+        t_dd[nd] = tn
         rows[str(nd)] = {
             "ms": round(tn * 1e3, 1),
             "solver": "dd",
             "speedup_vs_dense_1dev": round(t1 / tn, 2),
-            "efficiency": round(t1 / (nd * tn), 3),
+            "efficiency_vs_dense": round(t1 / (nd * tn), 3),
         }
+        # per-device efficiency AT FIXED ALGORITHM (VERDICT r04 #6): the dd
+        # method itself needs >= 2 devices, so the 2-device run is the
+        # fixed-algorithm reference: eff(nd) = 2 t_dd(2) / (nd t_dd(nd)) —
+        # how much of the added silicon the SAME solver converts to speed
+        if 2 in t_dd:
+            rows[str(nd)]["efficiency_fixed_alg_vs_2dev"] = round(
+                2 * t_dd[2] / (nd * tn), 3)
         print(f"# posegraph K={K} dd {nd}-dev: {tn*1e3:.0f} ms "
-              f"({t1/tn:.2f}x, eff {t1/(nd*tn):.2f})", file=sys.stderr)
+              f"({t1/tn:.2f}x vs dense, eff_dense {t1/(nd*tn):.2f}, "
+              f"eff_fixed {2*t_dd[2]/(nd*tn):.2f})", file=sys.stderr)
     return {
         "K": K, "E": K, "loops": 64, "iters": iters, "with_cov": True,
         "measured_virtual_mesh": rows,
         "note": "8 virtual devices SHARE this host's cores, so these are"
                 " lower bounds: replicated phases multiply here but run"
-                " concurrently on real chips.",
+                " concurrently on real chips. efficiency_vs_dense compares"
+                " against the DENSE single-device solver (total-speedup"
+                " view, includes the algorithmic win); "
+                " efficiency_fixed_alg_vs_2dev holds the dd algorithm fixed"
+                " and is the honest per-device parallel efficiency.",
     }
 
 
@@ -165,7 +179,9 @@ def chip_phases(K=1024, n_loops=None, iters=3):
 
     dt = jnp.float32
     out = {"backend": jax.default_backend(), "K": K, "iters": iters,
-           "dtype": "float32", "per_device_ms": {}, "eff_model": {}}
+           "dtype": "float32", "per_device_ms": {},
+           "eff_model_vs_dense": {}, "eff_model_fixed_alg_vs_2dev": {}}
+    t_dd_model = {}
 
     def atb(A, B):
         return jax.lax.dot_general(
@@ -275,9 +291,16 @@ def chip_phases(K=1024, n_loops=None, iters=3):
             "ici_per_iter_us": round(t_ici * 1e6, 1),
             "total_model": round(tn * 1e3, 3),
         }
-        out["eff_model"][str(nd)] = round(eff, 3)
+        out["eff_model_vs_dense"][str(nd)] = round(eff, 3)
+        t_dd_model[nd] = tn
+        if 2 in t_dd_model:
+            # fixed-algorithm per-device efficiency (dd@2dev reference):
+            # the vs-dense number folds in the algorithmic win and can
+            # exceed 1; this one cannot and is the honest scaling figure
+            out["eff_model_fixed_alg_vs_2dev"][str(nd)] = round(
+                2 * t_dd_model[2] / (nd * tn), 3)
         print(f"# chip-phases K={K} nd={nd}: per-dev {tn*1e3:.2f} ms, "
-              f"eff {eff:.2f}", file=sys.stderr)
+              f"eff_dense {eff:.2f}", file=sys.stderr)
     return out
 
 
@@ -365,7 +388,7 @@ def main():
         out["chip"] = {"error": str(e)}
 
     print(json.dumps(out))
-    with open("SCALING_r04.json", "w") as f:
+    with open("SCALING_r05.json", "w") as f:
         json.dump(out, f, indent=1)
 
 

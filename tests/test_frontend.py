@@ -130,3 +130,40 @@ def test_tracker_follows_rendered_world():
                 total += len(out["ids"])
         prev_out = out
     assert id_hits > 0.6 * total  # persistent identities
+
+
+def test_epipolar_inliers_fused():
+    """SVD-free device-side epipolar classification (the tracker's fused
+    RANSAC, initial/five_point.epipolar_inliers): on a synthetic two-view
+    geometry with 25% gross outliers it must keep the true correspondences
+    and reject the contaminated ones."""
+    import numpy as np
+    import jax.numpy as jnp
+    from isvins_tpu.initial.five_point import epipolar_inliers
+    from isvins_tpu.geom import hostmath as hm
+
+    rng = np.random.default_rng(5)
+    n = 120
+    X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  rng.uniform(4, 9, n)], axis=1)
+    phi = np.array([0.03, -0.12, 0.05])
+    Rq = hm.so3_exp_quat_np(phi)
+    R = hm.quat_to_mat_np(Rq)
+    t = np.array([0.3, -0.05, 0.1])
+    p1 = X[:, :2] / X[:, 2:3]
+    Xc2 = X @ R.T + t
+    p2 = Xc2[:, :2] / Xc2[:, 2:3]
+    is_out = rng.random(n) < 0.25
+    p2 = p2 + is_out[:, None] * rng.normal(scale=0.05, size=(n, 2))
+    valid = np.ones(n, bool)
+    samples = np.stack([rng.choice(n, size=8, replace=False)
+                        for _ in range(128)]).astype(np.int32)
+    thresh = 2.0 / 460.0
+    inl, n_inl = epipolar_inliers(
+        jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+        jnp.asarray(valid), jnp.asarray(samples), thresh * thresh)
+    inl = np.asarray(inl)
+    kept_true = inl[~is_out].mean()
+    rejected_out = 1.0 - inl[is_out].mean()
+    assert kept_true > 0.9, kept_true
+    assert rejected_out > 0.85, rejected_out
