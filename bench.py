@@ -88,12 +88,27 @@ def bench_solve():
 
     chains = {}
 
+    def _warm(run, st, n, tries=3):
+        """Compile+warm with retries: the remote compile helper occasionally
+        drops the connection mid-compile on cold programs ('response body
+        closed before all bytes were read'); the same program compiles fine
+        on retry (and partial cache writes make retries cheaper)."""
+        for attempt in range(tries):
+            try:
+                return np.asarray(run(st, n))
+            except Exception as e:  # pragma: no cover - infra resilience
+                if attempt == tries - 1:
+                    raise
+                print(f"# compile/warm retry {attempt + 1} after: {e}",
+                      file=sys.stderr, flush=True)
+                time.sleep(5.0)
+
     def chained_time(NB, ns=(1, 6), iters=10):
         run, st = make_chain(NB, iters)
         chains[NB] = (run, st)
         ts = {}
         for n in ns:
-            np.asarray(run(st, n))  # compile + warm
+            _warm(run, st, n)  # compile + warm
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -219,6 +234,11 @@ def bench_e2e(budget_s: float = 1500.0):
 
     sys_ = System(cfg, dims, enable_loop=True, pipeline=True, pg_thread=True,
                   solve_async=True)
+    # let the worker's prewarm finish BEFORE the timed stream: on a cold
+    # compile cache its compiles otherwise spill into steady state and
+    # starve the frame path (GIL + remote-compile tunnel contention;
+    # measured 20.3 -> 10.9 fps with the prewarm racing the stream)
+    sys_.wait_pg_ready()
     perf.enable(True)
     steady_dts = []
     t_wall0 = time.perf_counter()
@@ -305,7 +325,13 @@ def bench_e2e(budget_s: float = 1500.0):
 
 
 def main():
-    fps, batched = bench_solve()
+    try:
+        fps, batched = bench_solve()
+    except Exception as e:  # pragma: no cover - one full-stage retry
+        print(f"# bench_solve failed ({e}); retrying once",
+              file=sys.stderr, flush=True)
+        time.sleep(10.0)
+        fps, batched = bench_solve()
     baseline = 125.0  # frames/s implied by the reference's 8 ms solver budget
     result = {
         "metric": "vio_window_solve_frames_per_s",

@@ -6,3 +6,4 @@ from .sharded import (  # noqa: F401
     make_batch_problem,
     sharded_batch_solve,
 )
+from .multi_seq import MultiSequenceSolver  # noqa: F401

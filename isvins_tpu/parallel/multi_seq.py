@@ -65,8 +65,15 @@ class MultiSequenceSolver:
         nd = int(self.mesh.devices.size)
         rows = []
         for _, p in pend:
-            assert p["pfn"] is pfn, "mixed solve programs in one batch"
-            fbuf, _, _ = pfn.pack(p["args"])
+            # each estimator builds its own PackedFn; the batch only needs
+            # structural identity (same packing layout + program shapes —
+            # true for same-config sequences)
+            q = p["pfn"]
+            assert (
+                q._specs == pfn._specs and q._out_specs == pfn._out_specs
+                and q._single == pfn._single
+            ), "mixed solve programs in one batch"
+            fbuf, _, _ = q.pack(p["args"])
             rows.append(fbuf)
         # pad to a device multiple so the leading axis shards evenly
         n_pad = (-n) % nd

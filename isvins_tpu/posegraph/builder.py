@@ -136,6 +136,25 @@ class PoseGraphBuilder:
         except Exception:  # pragma: no cover
             logging.getLogger(__name__).exception("matcher prewarm failed")
         try:
+            # PnP verification shape buckets (CPU-routed in find_connection;
+            # each bucket's trace+compile at the first loop closure holds
+            # the GIL for O(seconds) and starves the streaming thread)
+            from ..initial.pnp import pnp_ransac_gn
+
+            with ctx:
+                q0 = np.array([1.0, 0.0, 0.0, 0.0])
+                rngp = np.random.default_rng(0)
+                for n in (16, 64, 128, 256):
+                    if n > self.db.P:
+                        break
+                    pnp_ransac_gn(
+                        rngp.normal(size=(n, 3)) + np.array([0, 0, 5.0]),
+                        rngp.normal(size=(n, 2)) * 0.1, q0, np.zeros(3),
+                        thresh=self.pg.pnp_inlier_thresh,
+                    )
+        except Exception:  # pragma: no cover
+            logging.getLogger(__name__).exception("pnp prewarm failed")
+        try:
             from .optimize import _optimize_core
 
             K = L = 64

@@ -88,6 +88,7 @@ class KeyframeDB:
         self.group_probe = 3
         self.vocab = np.zeros((self.W, 8), dtype=np.uint32)
         self.vocab_frozen = False
+        self._bow_backlog: list = []  # post-freeze amortized tf backfill
         self.tf = np.zeros((K, self.W), dtype=np.float32)
         self.df = np.zeros(self.W, dtype=np.float64)  # document frequency
         self._wg_centers = None  # (C, 8) coarse centers
@@ -207,16 +208,33 @@ class KeyframeDB:
                     self.vocab = np.concatenate([pool, pad], axis=0)
                 self.vocab_frozen = True
                 self._wg_centers = None  # (re)build the 2-level index lazily
-                for j in range(i + 1):  # backfill incl. this keyframe
-                    dj = self.kp_desc[j][self.kp_valid[j]]
-                    if len(dj):
-                        self.tf[j] = self._tf_from_desc(dj)
-                        self.df += self.tf[j] > 0
+                # AMORTIZED backfill: quantizing all ~48 pooled keyframes in
+                # one go is ~1-2 s of GIL-holding numpy popcounts on the
+                # worker thread — measured as a multi-second frame-time
+                # spike at the freeze keyframe. Queue them instead; a few
+                # are drained per subsequent keyframe (all done long before
+                # skip_recent lets a query reach them).
+                self._bow_backlog = list(range(i + 1))
             return
-        desc = self.kp_desc[i][self.kp_valid[i]]
-        if len(desc):
-            self.tf[i] = self._tf_from_desc(desc)
-            self.df += self.tf[i] > 0
+        self._drain_bow_backlog(16)
+        if i not in self._bow_backlog:
+            desc = self.kp_desc[i][self.kp_valid[i]]
+            if len(desc):
+                self.tf[i] = self._tf_from_desc(desc)
+                self.df += self.tf[i] > 0
+
+    def flush_bow(self):
+        """Complete any amortized post-freeze tf backfill (checkpoint
+        quiesce; streaming drains incrementally + on demand at query)."""
+        self._drain_bow_backlog(len(self._bow_backlog))
+
+    def _drain_bow_backlog(self, k: int):
+        for j in self._bow_backlog[:k]:
+            dj = self.kp_desc[j][self.kp_valid[j]]
+            if len(dj):
+                self.tf[j] = self._tf_from_desc(dj)
+                self.df += self.tf[j] > 0
+        del self._bow_backlog[:k]
 
     def _bow_scores(self, idx: int, hi: int, stop_df_frac: float = 1.0):
         """DBoW2 L1 scoring (TemplatedVocabulary.h L1_NORM): s(v, w) =
@@ -226,6 +244,13 @@ class KeyframeDB:
         STOP WORDS (idf zeroed) — repetitive texture fills every frame with
         the same words, and down-weighting by idf alone leaves them the
         dominant L1 mass."""
+        # on-demand: any scored row still awaiting its amortized post-freeze
+        # quantization is drained NOW, so retrieval never sees a zero tf
+        if any(j < hi for j in self._bow_backlog):
+            pending = [j for j in self._bow_backlog if j < hi]
+            rest = [j for j in self._bow_backlog if j >= hi]
+            self._bow_backlog = pending + rest
+            self._drain_bow_backlog(len(pending))
         idf = np.log((self.n + 1.0) / (self.df + 1.0)).astype(np.float32)
         if stop_df_frac < 1.0:
             idf[self.df > stop_df_frac * max(self.n, 1)] = 0.0

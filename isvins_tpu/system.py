@@ -236,6 +236,12 @@ class System:
             finally:
                 self._pg_queue.task_done()
 
+    def wait_pg_ready(self):
+        """Block until the pose-graph worker has drained its queue — in
+        particular the startup prewarm compiles. Call before a timed or
+        rate-critical stream so cold-cache compiles never race it."""
+        self._pg_join()
+
     def _pg_join(self):
         """Drain the pose-graph queue (no-op without pg_thread). All output
         accessors call this so reads always see a fully-consumed stream."""

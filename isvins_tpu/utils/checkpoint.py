@@ -26,6 +26,7 @@ _DB_FIELDS = [
 
 
 def save_pose_graph(db, path: str):
+    db.flush_bow()  # quiesce: amortized tf backfill is not serialized
     arrays = {f: getattr(db, f)[: db.n] for f in _DB_FIELDS}
     np.savez_compressed(
         path, n=db.n, K=db.K, D=db.D, P=db.P,

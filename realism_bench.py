@@ -121,6 +121,7 @@ def main(n_frames=200, out_path="REALISM_r05.json"):
     _sa = _os.environ.get("ISVINS_SOLVE_ASYNC", "0") == "1"
     sys_ = System(cfg, dims, enable_loop=True, pipeline=True, pg_thread=True,
                   solve_async=_sa)
+    sys_.wait_pg_ready()  # finish worker prewarm before the timed stream
     first_solved = None
     try:
         for k in range(n_frames):

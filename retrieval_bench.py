@@ -228,7 +228,7 @@ def main():
         "loop_rel_yaw_err_median_deg": round(float(np.median(errs[:, 1])), 3) if len(errs) else None,
     }
     print(json.dumps(out) if args.json else out)
-    with open("RETRIEVAL_r04.json", "w") as f:
+    with open("RETRIEVAL_r05.json", "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -42,6 +42,7 @@ def main(argv=None, cfg=None, dims=None):
     # overlap buys there)
     sys_ = System(cfg, dims, enable_loop=not args.no_loop, pipeline=True,
                   pg_thread=True)
+    sys_.wait_pg_ready()  # finish worker prewarm before the replay clock starts
     ds = EurocDataset(args.mav0)
 
     t0 = time.time()

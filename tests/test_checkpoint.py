@@ -79,6 +79,10 @@ def test_pre_bow_snapshot_freezes_vocab_from_loaded_map(rng):
     # smaller than W, so the whole loaded map is covered; the rest is
     # random-pattern padding by design)
     assert in_pool == min(db2.W, len(stored))
+    # the post-freeze tf backfill is amortized across subsequent keyframes
+    # (and drained on demand at query / checkpoint time); flush for the
+    # completeness assertion
+    db2.flush_bow()
     assert (db2.tf[:56].sum(axis=1) > 0).all()
 
 

@@ -269,3 +269,71 @@ def test_dd_solver_rejects_bad_mesh():
     args = _dd_problem(np.random.default_rng(1), K=30, E=30)
     with pytest.raises(ValueError):
         dd_pose_graph_solve(make_mesh(4), *args, iters=2)  # 30 % 4 != 0
+
+
+def test_multi_sequence_solver_equivalent():
+    """The multi-sequence coordinator (parallel/multi_seq.py) must produce
+    the SAME states as each estimator dispatching its own solve: it only
+    batches the identical packed programs into one mesh-sharded call
+    (System-level sequence data parallelism, BASELINE configs[4-5])."""
+    import numpy as np
+    from isvins_tpu.config import WindowConfig, euroc_config
+    from isvins_tpu.estimator.estimator import Estimator, MARGIN_OLD, NON_LINEAR
+    from isvins_tpu.geom.hostmath import mat_to_quat_np
+    from isvins_tpu.parallel import MultiSequenceSolver, make_mesh
+    from isvins_tpu.solver import PriorState, WindowDims
+    from isvins_tpu.utils.synthetic import make_world, project
+
+    B, Vo, F, N = 10, 4, 64, 256
+    R_bc = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    cfg = euroc_config().replace(
+        window=WindowConfig(vo_size=Vo, all_size=B, max_features=F,
+                            max_imu_per_frame=64),
+        tic=(0.0, 0.0, 0.0), ric=tuple(map(tuple, R_bc)),
+    )
+    qic = mat_to_quat_np(R_bc)
+
+    def build(seed):
+        world = make_world(n_frames=B, n_landmarks=120, seed=seed)
+        est = Estimator(cfg, WindowDims(B=B, Vo=Vo, F=F, N=N),
+                        solve_async=True)
+        est.Ps[:] = world.P
+        est.Qs[:] = world.Q
+        est.Vs[:] = world.V
+        est.Headers[:] = world.frame_times
+        est.imu_dt[1:] = world.imu_dts
+        est.imu_acc[1:] = world.imu_accs
+        est.imu_gyr[1:] = world.imu_gyrs
+        est.imu_acc0[1:] = world.imu_acc0
+        est.imu_gyr0[1:] = world.imu_gyr0
+        est.imu_cnt[1:] = (world.imu_dts > 0).sum(axis=1)
+        for k in range(B):
+            pts, _, vis = project(world, k, np.zeros(3), qic)
+            est.f_manager.add_features(k, np.where(vis)[0], pts[vis])
+        est.frame_count = B - 1
+        est.solver_flag = NON_LINEAR
+        est.marginalization_flag = MARGIN_OLD
+        est.priors = PriorState.empty(Vo)
+        return est
+
+    # reference: each estimator solo
+    solo = []
+    for s in (200, 201):
+        e = build(s)
+        e.dispatch_odometry()
+        e.collect_solve()
+        e.collect_marg()
+        solo.append(e.Ps.copy())
+
+    # batched through the coordinator
+    ests = [build(s) for s in (200, 201)]
+    for e in ests:
+        e._defer_dispatch = True
+        e.dispatch_odometry()
+    coord = MultiSequenceSolver(make_mesh(2))
+    n = coord.step(ests)
+    assert n == 2
+    for e, ref in zip(ests, solo):
+        e.collect_marg()
+        np.testing.assert_allclose(e.Ps, ref, atol=1e-5)  # f32 vmap reduction-order noise
+        assert len(e.pose_graph_packets) == 1
