@@ -478,9 +478,10 @@ class Estimator:
         whole solve (state, factors, priors); host state stays float64. f64
         solves (init BA) run on the CPU backend (_f64_device); the f32
         steady-state solve runs on the accelerator."""
-        with self._f64_device(), perf.phase("est.triangulate"):
-            self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
-
+        if dtype is None:
+            with self._f64_device(), perf.phase("est.triangulate"):
+                self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
+        # else: the packed steady program seeds depths on-device
         solve_ctx = self._f64_device() if dtype is None else contextlib.nullcontext()
         with solve_ctx:
             return self._solve_once_inner(priors, iters, dtype)
@@ -518,19 +519,21 @@ class Estimator:
         old_P = self.Ps.copy()
         old_Q = self.Qs.copy()
 
-        args = (state, imu_f, proj, priors, G, psi)
         if dtype is not None:
-            # steady-state product path: ONE packed accelerator call — three
-            # uploads, one dispatch, one pull — with the f32 cast applied
-            # during packing (VERDICT r03 #2: fuse the per-frame device
+            # steady-state product path: ONE packed accelerator call (single
+            # upload buffer, one dispatch, one pull) with the f32 cast
+            # applied during packing; depth seeding + preintegration run
+            # inside the program (VERDICT r03 #2: fuse the per-frame device
             # traffic; every extra transfer is ~ms of tunnel latency)
+            args = (state, imu_f, self._tri_inputs(), proj, priors, G, psi)
             pfn = self._get_packed_solve(iters, dtype, args)
             with perf.phase("est.solve_device"):
                 new_state, cost = pfn(*args)
         else:
             with self._f64_device():
                 new_state, cost = _to_np(solve_window(
-                    *args, self.dims, iters=iters,
+                    state, imu_f, proj, priors, G, psi, self.dims,
+                    iters=iters,
                     estimate_extrinsic=bool(self.estimate_extrinsic),
                 ))
 
@@ -557,12 +560,56 @@ class Estimator:
         pfn = self._packed_solves.get(key)
         if pfn is None:
             noise = ImuNoise(*(float(x) for x in self.noise))
+            max_depth = float(self.cfg.solver.max_depth)
 
-            def _steady_solve(st, im_raw, pr, pri, g, ps):
+            def _device_triangulate(st, obs, has_obs, start):
+                """Masked multi-view DLT seeding ON-DEVICE (the f64 host
+                twin, feature_manager._triangulate_batch, cost ~6-12 ms of
+                frame-path CPU; the SVD nullspace becomes an eigh of the
+                4x4 Gram — f32-safe, batched, and rides the existing
+                dispatch). Returns (F,) metric depths (garbage where the
+                track has <2 observations — the caller masks)."""
+                from ..geom import quat_to_mat
+
+                R = quat_to_mat(st.Q)
+                Ric = quat_to_mat(st.qic)
+                t_cam = st.P + jnp.einsum("bij,j->bi", R, st.tic)
+                R_cam = jnp.einsum("bij,jk->bik", R, Ric)
+
+                def one(o, m, s):
+                    t0 = t_cam[s]
+                    R0 = R_cam[s]
+                    t_rel = jnp.einsum("ji,bi->bj", R0, t_cam - t0)
+                    R_rel = jnp.einsum("ji,bik->bjk", R0, R_cam)
+                    Pl = jnp.swapaxes(R_rel, -1, -2)
+                    Pt = -jnp.einsum("bij,bj->bi", Pl, t_rel)
+                    Pm = jnp.concatenate([Pl, Pt[..., None]], axis=-1)
+                    # unobserved rows are zero-padded; sanitize before the
+                    # normalize (0/0 NaN would poison through the mask)
+                    o = jnp.where(
+                        m[:, None], o, jnp.array([0.0, 0.0, 1.0], o.dtype))
+                    f = o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+                    row0 = f[:, 0:1] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 0, :]
+                    row1 = f[:, 1:2] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 1, :]
+                    w = m.astype(o.dtype)[:, None]
+                    A = jnp.concatenate([row0 * w, row1 * w], axis=0)
+                    G = A.T @ A
+                    _, V = jnp.linalg.eigh(G)
+                    v = V[:, 0]
+                    return v[2] / jnp.where(jnp.abs(v[3]) > 1e-12, v[3], 1e-12)
+
+                return jax.vmap(one)(obs, has_obs, start)
+
+            def _steady_solve(st, im_raw, tri, pr, pri, g, ps):
+                obs, has_obs, start, need = tri
+                d = _device_triangulate(st, obs, has_obs, start)
+                ok = jnp.isfinite(d) & (d > 0.1)
+                inv = 1.0 / jnp.clip(d, 0.1, max_depth)
+                st = st._replace(dep=jnp.where(need & ok, inv, st.dep))
                 dts, accs, gyrs, a0, g0, valid = im_raw
                 pre = jax.vmap(
-                    lambda d, a, gy, aa, gg, ba, bg: integrate_segment(
-                        d, a, gy, aa, gg, ba, bg, noise
+                    lambda dd, a, gy, aa, gg, ba, bg: integrate_segment(
+                        dd, a, gy, aa, gg, ba, bg, noise
                     )
                 )(dts, accs, gyrs, a0, g0, st.Ba[:-1], st.Bg[:-1])
                 im = ImuFactors.create(pre=pre, valid=valid)
@@ -575,6 +622,14 @@ class Estimator:
                            single_buffer=True)
             self._packed_solves[key] = pfn
         return pfn
+
+    def _tri_inputs(self):
+        """Device-triangulation side inputs: per-track observations + the
+        rows needing a fresh depth seed (good, untriangulated, not
+        outlier-flagged — the host triangulate's own need mask)."""
+        fm = self.f_manager
+        need = fm.good_mask() & (fm.depth <= 0) & ~fm.outlier
+        return (fm.obs, fm.has_obs, fm.start.astype(np.int32), need)
 
     def _raw_imu_factors(self):
         """Raw per-segment IMU buffers + host validity for the on-device
@@ -598,8 +653,7 @@ class Estimator:
         psi = np.asarray(self.cfg.noise.pixel_sqrt_info)
         assert self.cfg.solver.solve_dtype == "float32", (
             "solve_async requires the packed f32 steady path")
-        with self._f64_device(), perf.phase("est.triangulate"):
-            self.f_manager.triangulate(self.Ps, self.Qs, self.tic, self.qic)
+        # depth seeding happens on-device inside the packed program
         with perf.phase("est.build_proj"):
             pf = self.f_manager.build_proj_factors(
                 self.dims.N, marg_old=(self.marginalization_flag == MARGIN_OLD)
@@ -616,8 +670,8 @@ class Estimator:
         self.collect_marg()
         old = (self.Ps.copy(), self.Qs.copy(), self.Vs.copy(),
                self.Bas.copy(), self.Bgs.copy())
-        args = (self._window_state(), self._raw_imu_factors(), proj,
-                self.priors, G, psi)
+        args = (self._window_state(), self._raw_imu_factors(),
+                self._tri_inputs(), proj, self.priors, G, psi)
         pfn = self._get_packed_solve(
             self.cfg.solver.max_iterations, jnp.float32, args)
         if getattr(self, "_defer_dispatch", False):

@@ -397,6 +397,11 @@ def _triangulate_batch(obs, has_obs, start, P, Q, tic, qic):
         Pl = jnp.swapaxes(R_rel, -1, -2)  # (B,3,3)
         Pt = -jnp.einsum("bij,bj->bi", Pl, t_rel)  # (B,3)
         Pm = jnp.concatenate([Pl, Pt[..., None]], axis=-1)  # (B,3,4)
+        # sanitize BEFORE the normalize: unobserved rows are zero-padded and
+        # 0/0 -> NaN poisons the whole system through the mask (NaN * 0 is
+        # NaN) — this silently returned NaN (-> the 5 m fallback) for EVERY
+        # track not observed in all B frames
+        o = jnp.where(m[:, None], o, jnp.array([0.0, 0.0, 1.0], o.dtype))
         f = o / jnp.linalg.norm(o, axis=-1, keepdims=True)  # (B,3)
         row0 = f[:, 0:1] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 0, :]
         row1 = f[:, 1:2] * Pm[:, 2, :] - f[:, 2:3] * Pm[:, 1, :]

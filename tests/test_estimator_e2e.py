@@ -97,7 +97,13 @@ def test_e2e_noiseless():
     est, world, traj = run_sequence(n_frames=26)
     assert len(traj) >= 10, "estimator never reached NON_LINEAR"
     emax, emean = ate(traj, world)
-    assert emax < 0.02, (emax, emean)
+    # bound recalibrated after the triangulation NaN fix: seeds are now the
+    # real DLT depths instead of the accidental 5 m fallback (every
+    # partially-observed track used to NaN through the mask), which shifts
+    # this synthetic trajectory a little (3.2 cm max) while cutting the
+    # realistic drifty-world end drift 4.7 -> 2.1 m (product-shape chip
+    # probe, round 5)
+    assert emax < 0.05, (emax, emean)
     # marginalization ran and produced pose-graph packets with KLD diagnostics
     assert len(est.pose_graph_packets) >= 5
     assert np.isfinite(est.last_kld.get("forward", np.nan))
@@ -126,3 +132,31 @@ def test_e2e_noisy():
     emax_raw, _ = ate(traj, world)
     assert emax_raw < 0.5, emax_raw
     assert est.failure_count == 0
+
+
+def test_triangulate_partial_observation():
+    """Regression: tracks observed in only a subset of the window frames
+    must still triangulate (the zero-padded rows used to NaN the DLT
+    through the mask — NaN * 0 is NaN — silently degrading every seed to
+    the 5 m fallback)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from isvins_tpu.estimator.feature_manager import _triangulate_batch
+
+    B = 10
+    obs = np.zeros((1, B, 3))
+    has = np.zeros((1, B), bool)
+    P = np.zeros((B, 3))
+    P[:, 0] = np.arange(B) * 0.3
+    Q = np.tile([1.0, 0, 0, 0], (B, 1))
+    X = np.array([1.0, 0.5, 6.0])
+    for k in range(2, 6):
+        pc = X - P[k]
+        obs[0, k] = pc / pc[2]
+        has[0, k] = True
+    d = np.asarray(_triangulate_batch(
+        jnp.asarray(obs), jnp.asarray(has), jnp.asarray(np.array([2], np.int32)),
+        jnp.asarray(P), jnp.asarray(Q), jnp.zeros(3),
+        jnp.asarray([1.0, 0, 0, 0])))
+    assert np.isfinite(d[0]), d
+    np.testing.assert_allclose(d[0], 6.0, rtol=1e-6)
